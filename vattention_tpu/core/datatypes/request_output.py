@@ -1,0 +1,44 @@
+"""RequestOutput (ref: sarathi-lean/sarathi/core/datatypes/request_output.py:9)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from vattention_tpu.core.datatypes.sequence import Sequence
+from vattention_tpu.core.datatypes.sequence_status import SequenceStatus
+
+
+class RequestOutput:
+    def __init__(
+        self,
+        seq_id: str,
+        prompt: Optional[str],
+        prompt_token_ids: List[int],
+        text: str,
+        token_ids: List[int],
+        finished: bool,
+        finish_reason: Optional[str] = None,
+    ) -> None:
+        self.seq_id = seq_id
+        self.prompt = prompt
+        self.prompt_token_ids = prompt_token_ids
+        self.text = text
+        self.token_ids = token_ids
+        self.finished = finished
+        self.finish_reason = finish_reason
+
+    @classmethod
+    def from_seq(cls, seq: Sequence) -> "RequestOutput":
+        return cls(
+            seq.seq_id,
+            seq.prompt,
+            seq.prompt_token_ids,
+            seq.output_text,
+            seq.get_output_token_ids(),
+            seq.is_finished(),
+            SequenceStatus.get_finished_reason(seq.get_status()),
+        )
+
+    def __repr__(self) -> str:
+        return (f"RequestOutput(seq_id={self.seq_id}, "
+                f"finished={self.finished}, text={self.text[:40]!r})")

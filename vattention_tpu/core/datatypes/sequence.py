@@ -1,0 +1,209 @@
+"""Sequence and schedule-metadata datatypes.
+
+ref: sarathi-lean/sarathi/core/datatypes/sequence.py:11-298.  The logical
+token-block list of the reference is replaced by simple length math (block
+accounting lives in the block-space managers).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from vattention_tpu.core.datatypes.sampling_params import SamplingParams
+from vattention_tpu.core.datatypes.sequence_state import SequenceState
+from vattention_tpu.core.datatypes.sequence_status import SequenceStatus
+
+
+class Sequence:
+    def __init__(
+        self,
+        seq_id: str,
+        prompt: Optional[str],
+        prompt_token_ids: List[int],
+        block_size: int,
+        eos_token_id: int,
+        arrival_time: float,
+        sampling_params: SamplingParams,
+    ) -> None:
+        self.seq_id = seq_id
+        self.prompt = prompt
+        self.block_size = block_size
+        self.eos_token_id = eos_token_id
+        self.arrival_time = arrival_time
+        self.sampling_params = sampling_params
+        self.prompt_token_ids = list(prompt_token_ids)
+
+        self.output_token_ids: List[int] = []
+        self.prompt_tokens_processed = 0
+        self.prompt_processing_finished = False
+
+        self.output_text = ""
+        # incremental detokenization state
+        self.prefix_offset = 0
+        self.read_offset = 0
+        self.tokens: Optional[List[str]] = None
+
+        self.state = SequenceState(seq_id, arrival_time, len(prompt_token_ids))
+
+    # -- status ---------------------------------------------------------- #
+    def get_status(self) -> SequenceStatus:
+        return self.state.status
+
+    def set_status(self, status: SequenceStatus) -> None:
+        self.state.set_status(status)
+
+    def is_finished(self) -> bool:
+        return SequenceStatus.is_finished(self.get_status())
+
+    def is_executing(self) -> bool:
+        return SequenceStatus.is_executing(self.get_status())
+
+    def is_waiting(self) -> bool:
+        return SequenceStatus.is_waiting(self.get_status())
+
+    def is_paused(self) -> bool:
+        return SequenceStatus.is_paused(self.get_status())
+
+    def is_running(self) -> bool:
+        return SequenceStatus.is_running(self.get_status())
+
+    # -- token bookkeeping ------------------------------------------------ #
+    def update_prompt_tokens_processed(self, num_tokens: int) -> None:
+        assert not self.prompt_processing_finished
+        assert num_tokens > 0
+        self.prompt_tokens_processed += num_tokens
+        assert self.prompt_tokens_processed <= len(self.prompt_token_ids)
+        if self.prompt_tokens_processed == len(self.prompt_token_ids):
+            self.prompt_processing_finished = True
+            self.state.on_prompt_processing_completed()
+
+    def append_token_id(self, token_id: int) -> None:
+        assert self.prompt_processing_finished
+        self.output_token_ids.append(token_id)
+        self.state.on_token_generated()
+
+    def get_len(self) -> int:
+        return len(self.output_token_ids) + len(self.prompt_token_ids)
+
+    def get_prompt_len(self) -> int:
+        return len(self.prompt_token_ids)
+
+    def get_output_len(self) -> int:
+        return len(self.output_token_ids)
+
+    def get_token_ids(self) -> List[int]:
+        return self.prompt_token_ids + self.output_token_ids
+
+    def get_num_prompt_tokens_processed(self) -> int:
+        return self.prompt_tokens_processed
+
+    def get_last_token_id(self) -> int:
+        if not self.output_token_ids:
+            return self.prompt_token_ids[-1]
+        return self.output_token_ids[-1]
+
+    def get_output_token_ids(self) -> List[int]:
+        return self.output_token_ids
+
+    def get_next_prompt_chunk_token_ids(self, chunk_size: int) -> List[int]:
+        start = self.prompt_tokens_processed
+        end = start + chunk_size
+        assert end <= len(self.prompt_token_ids)
+        return self.prompt_token_ids[start:end]
+
+    def get_next_prompt_chunk_len(self, chunk_size: int) -> int:
+        return min(chunk_size,
+                   len(self.prompt_token_ids) - self.prompt_tokens_processed)
+
+    def reset_for_recompute(self) -> None:
+        """Preemption restart (ref sequence.py:158)."""
+        self.set_status(SequenceStatus.WAITING)
+        self.prompt_tokens_processed = 0
+        self.prompt_processing_finished = False
+        self.prompt_token_ids = self.prompt_token_ids + self.output_token_ids
+        self.output_token_ids = []
+
+    def check_stop(self) -> None:
+        for stop_str in self.sampling_params.stop:
+            if self.output_text.endswith(stop_str):
+                self.output_text = self.output_text[:-len(stop_str)]
+                self.set_status(SequenceStatus.FINISHED_STOPPED)
+                return
+        if self.get_output_len() == self.sampling_params.max_tokens:
+            self.set_status(SequenceStatus.FINISHED_LENGTH_CAPPED)
+            return
+        if (not self.sampling_params.ignore_eos
+                and self.get_last_token_id() == self.eos_token_id):
+            self.set_status(SequenceStatus.FINISHED_STOPPED)
+            return
+
+    def __repr__(self) -> str:
+        return (f"Sequence(seq_id={self.seq_id}, "
+                f"status={self.get_status().name}, len={self.get_len()})")
+
+
+class SequenceScheduleMetadata:
+    """Scheduler -> worker description of one scheduled sequence.
+
+    ref: sequence.py:195-252.
+    """
+
+    def __init__(self, seq_id: str, prompt_chunk_len: Optional[int] = None):
+        self.seq_id = seq_id
+        self.prompt_chunk_len = prompt_chunk_len if prompt_chunk_len else 0
+
+    @property
+    def num_prompt_tokens(self) -> int:
+        return self.prompt_chunk_len
+
+    @property
+    def is_prompt(self) -> bool:
+        return self.prompt_chunk_len > 0
+
+    @classmethod
+    def from_sequence(cls, seq: Sequence,
+                      prompt_chunk_len: Optional[int] = None
+                      ) -> "SequenceScheduleMetadata":
+        return cls(seq_id=seq.seq_id, prompt_chunk_len=prompt_chunk_len)
+
+    def __repr__(self) -> str:
+        return (f"SequenceScheduleMetadata(seq_id={self.seq_id}, "
+                f"prompt_chunk_len={self.prompt_chunk_len})")
+
+
+class SequenceMetadata:
+    """Worker-side materialization with the live Sequence (ref :255-298)."""
+
+    def __init__(self, seq: Sequence, prompt_chunk_len: Optional[int] = None):
+        self.seq = seq
+        self.prompt_chunk_len = prompt_chunk_len if prompt_chunk_len else 0
+
+    @property
+    def seq_id(self) -> str:
+        return self.seq.seq_id
+
+    @property
+    def is_prompt(self) -> bool:
+        return self.prompt_chunk_len > 0
+
+    @property
+    def num_prompt_tokens(self) -> int:
+        return self.prompt_chunk_len
+
+    def __repr__(self) -> str:
+        return (f"SequenceMetadata(seq_id={self.seq.seq_id}, "
+                f"prompt_chunk_len={self.prompt_chunk_len})")
+
+
+class SamplerOutput:
+    """Output token for one sequence (ref sequence.py:301+)."""
+
+    def __init__(self, seq_id: str, output_token: int):
+        self.seq_id = seq_id
+        self.output_token = output_token
+
+    def __repr__(self) -> str:
+        return f"SamplerOutput(seq_id={self.seq_id}, token={self.output_token})"
+
+
+SamplerOutputs = List[SamplerOutput]
