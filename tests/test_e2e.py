@@ -1,0 +1,106 @@
+"""End-to-end correctness: engine output vs dense reference model.
+
+The reference's implicit contract (made explicit in BASELINE.json): the
+serving stack -- chunked prefill, arena cache, flash kernels, continuous
+batching -- must produce exactly the tokens a plain dense forward pass
+produces (greedy).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vattention_tpu import LLMEngine, SamplingParams
+from vattention_tpu.config import get_model_arch
+from vattention_tpu.model_executor.layers.activation import silu_and_mul
+from vattention_tpu.model_executor.layers.layernorm import rms_norm
+from vattention_tpu.model_executor.layers.rotary_embedding import get_rope
+from vattention_tpu.ops.attention_ref import mha_reference
+
+
+def dense_reference_generate(model, params, prompt_ids, max_tokens):
+    """Plain full-recompute greedy decoding with jnp dense attention."""
+    a = model.arch
+    D = model.head_dim
+    rope = model.rope
+    ids = list(prompt_ids)
+    for _ in range(max_tokens):
+        T = len(ids)
+        x = params["embed"][jnp.asarray(ids)]
+        positions = jnp.arange(T)
+        L = a.num_layers
+        for l in range(L):
+            lp = jax.tree.map(lambda p: p[l], params["layers"])
+            h = rms_norm(x, lp["input_norm"], a.rms_norm_eps)
+            qkv = h @ lp["qkv_w"]
+            if "qkv_b" in lp:
+                qkv = qkv + lp["qkv_b"]
+            q = qkv[:, :model.hq * D].reshape(T, model.hq, D)
+            k = qkv[:, model.hq * D:(model.hq + model.hkv) * D].reshape(
+                T, model.hkv, D)
+            v = qkv[:, (model.hq + model.hkv) * D:].reshape(T, model.hkv, D)
+            q, k = rope(positions, q, k)
+            attn = mha_reference(q, k, v, causal=True, q_start=0,
+                                 sm_scale=model.sm_scale)
+            x = x + attn.astype(x.dtype).reshape(T, model.hq * D) @ lp["o_w"]
+            h2 = rms_norm(x, lp["post_norm"], a.rms_norm_eps)
+            x = x + silu_and_mul(h2 @ lp["gate_up_w"]) @ lp["down_w"]
+        x = rms_norm(x, params["final_norm"], a.rms_norm_eps)
+        head = (params["embed"].T if a.tie_word_embeddings
+                else params["lm_head"])
+        logits = x[-1].astype(jnp.float32) @ head.astype(jnp.float32)
+        ids.append(int(jnp.argmax(logits)))
+    return ids[len(prompt_ids):]
+
+
+@pytest.mark.parametrize("backend,scheduler,chunk", [
+    ("fa_vattn", "sarathi", 128),          # chunked prefill
+    ("fa_vattn", "vllm", 128),             # whole-prompt prefill
+    ("fa_vattn_64kb", "sarathi", 128),     # small pages -> multi-extent
+])
+def test_engine_matches_dense_reference(backend, scheduler, chunk):
+    engine = LLMEngine.from_engine_args(
+        model="tiny-llama-debug",
+        dtype="float32",          # exact match at f32
+        attention_backend=backend,
+        scheduler_type=scheduler,
+        max_model_len=2048,
+        max_batch_size=4,
+        max_num_seqs=4,
+        chunk_size=chunk,
+        gpu_memory_utilization=0.9,
+    )
+    rng = np.random.default_rng(5)
+    prompts = {
+        f"r{i}": rng.integers(1, 2000, int(n)).tolist()
+        for i, n in enumerate([200, 37, 150])
+    }
+    max_tokens = 8
+    for seq_id, toks in prompts.items():
+        engine.add_request(
+            prompt=None, prompt_token_ids=toks,
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=max_tokens, ignore_eos=True),
+            seq_id=seq_id)
+    generated = {}
+    steps = 0
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                generated[out.seq_id] = out.token_ids
+        steps += 1
+        assert steps < 500
+    # exactness requires no preemption-restarts (those legitimately fold
+    # generated tokens back into the prompt, ref sequence.py:158)
+    assert engine.metrics_store.num_preempted == 0
+    model = engine.worker.model_runner.model
+    params = engine.worker.model_runner.params
+    for seq_id, toks in prompts.items():
+        expect = dense_reference_generate(model, params, toks, max_tokens)
+        assert generated[seq_id] == expect, (
+            f"{seq_id}: engine={generated[seq_id]} dense={expect}")
+    engine.cleanup()
+    # allow re-creating engines in later tests
+    from vattention_tpu.metrics.metrics_store import MetricsStore
+    MetricsStore._instance = None

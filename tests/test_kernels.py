@@ -1,0 +1,171 @@
+"""Pallas kernel correctness vs pure-jnp reference attention.
+
+Mirrors the reference's kernel test strategy (pod_attn/tests/*: allclose
+against stock FlashAttention, atol 1e-3) on the CPU interpret tier.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vattention_tpu.ops.attention_ref import decode_reference, mha_reference
+from vattention_tpu.ops.cache_append import cache_append, cache_append_jnp
+from vattention_tpu.ops.arena_copy import apply_relocations
+from vattention_tpu.ops.flash_decode import flash_decode
+from vattention_tpu.ops.flash_prefill import flash_prefill
+
+L, HKV, HQ, D = 2, 2, 4, 64
+R = 2048          # arena rows
+S = 8             # extent budget
+BLOCK_TOKENS = 256
+
+
+def make_cache(rng):
+    return jnp.asarray(
+        rng.standard_normal((L, 2, HKV, R, D)), dtype=jnp.float32)
+
+
+def seg_tables(extents, total_pad=None):
+    """extents: [(row, ntokens), ...] -> (seg_row [S], seg_cum [S+1])."""
+    seg_row = np.zeros(S, np.int32)
+    seg_cum = np.zeros(S + 1, np.int32)
+    t = 0
+    for j, (row, n) in enumerate(extents):
+        seg_row[j] = row
+        seg_cum[j] = t
+        t += n
+    for j in range(len(extents), S + 1):
+        seg_cum[j] = t
+    seg_cum[S] = max(t, total_pad or t)
+    return jnp.asarray(seg_row), jnp.asarray(seg_cum)
+
+
+def gather_kv(cache, layer, extents, n):
+    """Materialize a request's logically-contiguous K/V [n, HKV, D]."""
+    rows = []
+    for row, m in extents:
+        rows.extend(range(row, row + m))
+    rows = np.array(rows[:n])
+    k = np.asarray(cache[layer, 0])[:, rows].transpose(1, 0, 2)
+    v = np.asarray(cache[layer, 1])[:, rows].transpose(1, 0, 2)
+    return jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("extents,kv_len,q_start", [
+    ([(0, 1024)], 640, 128),          # single extent, chunked continuation
+    ([(0, 1024)], 512, 0),            # first chunk (pure causal)
+    ([(256, 512), (1024, 512)], 900, 388),  # two extents, boundary crossing
+    ([(0, 256), (512, 256), (1024, 256)], 768, 256),  # three extents
+])
+def test_flash_prefill_matches_reference(extents, kv_len, q_start):
+    rng = np.random.default_rng(0)
+    cache = make_cache(rng)
+    Tq_actual = kv_len - q_start
+    q_tile = 128
+    Tq = -(-Tq_actual // q_tile) * q_tile
+    q = jnp.asarray(rng.standard_normal((Tq, HQ, D)), dtype=jnp.float32)
+    seg_row, seg_cum = seg_tables(extents)
+    qinfo = jnp.array([q_start, kv_len, 1], jnp.int32)
+    out = flash_prefill(q, cache, seg_row, seg_cum, qinfo,
+                        q_tile=q_tile, kv_tile=256,
+                        num_segments=S, max_kv_tiles=8)
+    k, v = gather_kv(cache, 1, extents, kv_len)
+    ref = mha_reference(q[:Tq_actual], k, v, causal=True, q_start=q_start)
+    np.testing.assert_allclose(
+        np.asarray(out[:Tq_actual]), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_flash_decode_matches_reference():
+    rng = np.random.default_rng(1)
+    cache = make_cache(rng)
+    B = 4
+    per_seq_extents = [
+        [(0, 512)],
+        [(512, 256), (1280, 256)],
+        [(768, 256)],
+        [(1536, 512)],
+    ]
+    seqlens = np.array([500, 444, 1, 0], np.int32)
+    q = jnp.asarray(rng.standard_normal((B, HQ, D)), dtype=jnp.float32)
+    seg_row = np.zeros((B, S), np.int32)
+    seg_cum = np.zeros((B, S + 1), np.int32)
+    for b in range(B):
+        r, c = seg_tables(per_seq_extents[b])
+        seg_row[b], seg_cum[b] = np.asarray(r), np.asarray(c)
+    out = flash_decode(q, cache, jnp.asarray(seg_row), jnp.asarray(seg_cum),
+                       jnp.asarray(seqlens), jnp.zeros(1, jnp.int32),
+                       kv_tile=256, num_segments=S, max_kv_tiles=4)
+    # reference: gather each seq's KV into [B, maxlen, HKV, D]
+    maxlen = 512
+    kg = np.zeros((B, maxlen, HKV, D), np.float32)
+    vg = np.zeros((B, maxlen, HKV, D), np.float32)
+    for b in range(B):
+        n = int(seqlens[b])
+        if n:
+            k, v = gather_kv(cache, 0, per_seq_extents[b], n)
+            kg[b, :n], vg[b, :n] = np.asarray(k), np.asarray(v)
+    ref = decode_reference(q, jnp.asarray(kg), jnp.asarray(vg),
+                           jnp.asarray(seqlens))
+    np.testing.assert_allclose(np.asarray(out[:3]), np.asarray(ref[:3]),
+                               atol=2e-3, rtol=2e-3)
+    # inactive slot must produce zeros (not NaN)
+    assert np.isfinite(np.asarray(out[3])).all()
+
+
+def test_cache_append_matches_scatter():
+    rng = np.random.default_rng(2)
+    cache = make_cache(rng)
+    T = 16
+    k_new = jnp.asarray(rng.standard_normal((T, HKV, D)), dtype=jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((T, HKV, D)), dtype=jnp.float32)
+    rows = np.full(T, -1, np.int32)
+    rows[:8] = np.arange(100, 108)      # prefill run
+    rows[8:12] = [700, 300, 1500, 42]   # scattered decodes
+    rows = jnp.asarray(rows)
+    expect = cache_append_jnp(cache, k_new, v_new, rows, 1)
+    got = cache_append(cache.copy(), k_new, v_new, rows,
+                       jnp.ones(1, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+
+def test_apply_relocations_moves_blocks():
+    rng = np.random.default_rng(3)
+    cache = make_cache(rng)
+    before = np.asarray(cache).copy()
+    src = jnp.asarray([0, 1, 7], jnp.int32)
+    dst = jnp.asarray([4, 5, 0], jnp.int32)
+    n = jnp.asarray([2], jnp.int32)  # third move is padding, ignored
+    got = np.asarray(apply_relocations(cache, src, dst, n,
+                                       block_tokens=BLOCK_TOKENS))
+    bt = BLOCK_TOKENS
+    expect = before.copy()
+    for s_, d_ in [(0, 4), (1, 5)]:
+        expect[:, :, :, d_ * bt:(d_ + 1) * bt] = (
+            before[:, :, :, s_ * bt:(s_ + 1) * bt])
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_append_then_prefill_end_to_end():
+    """Simulate one chunked-prefill step: append chunk KV, then attend."""
+    rng = np.random.default_rng(4)
+    cache = jnp.zeros((L, 2, HKV, R, D), jnp.float32)
+    ctx = 384
+    chunk = 128
+    # history already in cache rows [0, 256); chunk rows [256, 384)
+    hist_k = rng.standard_normal((ctx, HKV, D)).astype(np.float32)
+    hist_v = rng.standard_normal((ctx, HKV, D)).astype(np.float32)
+    cache = cache.at[0, 0, :, :ctx].set(jnp.asarray(hist_k).transpose(1, 0, 2))
+    cache = cache.at[0, 1, :, :ctx].set(jnp.asarray(hist_v).transpose(1, 0, 2))
+    q = jnp.asarray(rng.standard_normal((chunk, HQ, D)), dtype=jnp.float32)
+    seg_row, seg_cum = seg_tables([(0, 1024)])
+    qinfo = jnp.array([ctx - chunk, ctx, 0], jnp.int32)
+    out = flash_prefill(q, cache, seg_row, seg_cum, qinfo,
+                        q_tile=128, kv_tile=256, num_segments=S,
+                        max_kv_tiles=4)
+    ref = mha_reference(q, jnp.asarray(hist_k), jnp.asarray(hist_v),
+                        causal=True, q_start=ctx - chunk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)

@@ -1,0 +1,233 @@
+"""Metrics store (ref: sarathi-lean/sarathi/metrics/metrics_store.py:66-924).
+
+Singleton collecting request-, batch- and token-level distributions:
+request e2e / scheduling delay / prefill-e2e / TBT, batch sizes & token
+counts, step latency.  Outputs CSV summaries and (optionally) a chrome
+trace of batches.  Plot/wandb layers of the reference map to the CSVs
+(plotting is out of scope for the serving core).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from vattention_tpu.config import MetricsConfig
+from vattention_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+class DataSeries:
+    """ref metrics/data_series.py (308 LoC): (x, y) series + quantiles."""
+
+    def __init__(self, x_name: str, y_name: str):
+        self.x_name = x_name
+        self.y_name = y_name
+        self.xs: List[float] = []
+        self.ys: List[float] = []
+
+    def put(self, x: float, y: float) -> None:
+        self.xs.append(x)
+        self.ys.append(y)
+
+    def __len__(self) -> int:
+        return len(self.ys)
+
+    @property
+    def sum(self) -> float:
+        return float(np.sum(self.ys)) if self.ys else 0.0
+
+    @property
+    def mean(self) -> float:
+        return float(np.mean(self.ys)) if self.ys else 0.0
+
+    def percentile(self, q: float) -> float:
+        return float(np.percentile(self.ys, q)) if self.ys else 0.0
+
+    @property
+    def max(self) -> float:
+        return float(np.max(self.ys)) if self.ys else 0.0
+
+    def summary(self) -> Dict[str, float]:
+        return {
+            "count": len(self.ys),
+            "mean": self.mean,
+            "p50": self.percentile(50),
+            "p90": self.percentile(90),
+            "p99": self.percentile(99),
+            "max": self.max,
+            "sum": self.sum,
+        }
+
+    def to_csv(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(f"{self.x_name},{self.y_name}\n")
+            for x, y in zip(self.xs, self.ys):
+                f.write(f"{x},{y}\n")
+
+
+class CDFSketch(DataSeries):
+    """Quantile sketch (ref cdf_sketch.py DDSketch) -- exact here."""
+
+    def __init__(self, name: str):
+        super().__init__("idx", name)
+
+    def add(self, y: float) -> None:
+        self.put(len(self.ys), y)
+
+
+class MetricsStore:
+    """Process singleton (ref metrics_store.py:66 + Singleton metaclass)."""
+
+    _instance: Optional["MetricsStore"] = None
+
+    def __init__(self, config: MetricsConfig):
+        self.config = config
+        self.enabled = config.write_metrics
+        self.reset()
+
+    @classmethod
+    def get_or_create(cls, config: Optional[MetricsConfig] = None
+                      ) -> "MetricsStore":
+        if cls._instance is None:
+            cls._instance = cls(config or MetricsConfig())
+        return cls._instance
+
+    @classmethod
+    def get_instance(cls) -> "MetricsStore":
+        return cls.get_or_create()
+
+    def reset(self) -> None:
+        self.request_e2e_time = CDFSketch("request_e2e_time")
+        self.request_e2e_time_normalized = CDFSketch(
+            "request_e2e_time_normalized")
+        self.prefill_e2e_time = CDFSketch("prefill_e2e_time")
+        self.scheduling_delay = CDFSketch("request_scheduling_delay")
+        self.tbt = CDFSketch("decode_token_execution_plus_preemption_time")
+        self.ttft = CDFSketch("time_to_first_token")
+        self.batch_num_tokens = CDFSketch("batch_num_tokens")
+        self.batch_size = CDFSketch("batch_size")
+        self.batch_execution_time = CDFSketch("batch_execution_time")
+        self.num_preempted = 0
+        self.num_completed_requests = 0
+        self.num_processed_tokens = 0
+        self.num_decode_tokens = 0
+        self._last_batch_start: Optional[float] = None
+        self._chrome_events: List[dict] = []
+        self._run_start = time.monotonic()
+
+    # ------------------------------------------------------------------ #
+    # ingest hooks (ref :281-535)
+    # ------------------------------------------------------------------ #
+    def on_request_arrival(self, seq) -> None:
+        pass
+
+    def on_request_end(self, seq) -> None:
+        state = seq.state
+        if state.e2e_time is not None:
+            self.request_e2e_time.add(state.e2e_time)
+            n = max(seq.get_len(), 1)
+            self.request_e2e_time_normalized.add(state.e2e_time / n)
+        if state.scheduling_delay is not None:
+            self.scheduling_delay.add(state.scheduling_delay)
+        if state.e2e_prefill_time is not None:
+            self.prefill_e2e_time.add(state.e2e_prefill_time)
+        self.num_completed_requests += 1
+
+    def on_batch_start(self) -> None:
+        self._last_batch_start = time.monotonic()
+
+    def on_batch_end(self, seq_metadata_list, scheduler_outputs) -> None:
+        # core counters are kept even when metric output is disabled
+        self.num_preempted += len(scheduler_outputs.preempted_seq_ids)
+        if not self.enabled:
+            return
+        now = time.monotonic()
+        if self._last_batch_start is not None:
+            dt = now - self._last_batch_start
+            self.batch_execution_time.add(dt)
+            if self.config.enable_chrome_trace:
+                self._chrome_events.append({
+                    "name": f"batch_{scheduler_outputs.id}",
+                    "ph": "X", "pid": 0, "tid": 0,
+                    "ts": int((self._last_batch_start - self._run_start)
+                              * 1e6),
+                    "dur": int(dt * 1e6),
+                    "args": {
+                        "batch_size": len(seq_metadata_list),
+                        "num_tokens":
+                            scheduler_outputs.num_batched_tokens,
+                    },
+                })
+        self._last_batch_start = None
+        num_tokens = sum(
+            max(m.prompt_chunk_len, 1) for m in seq_metadata_list)
+        self.batch_num_tokens.add(num_tokens)
+        self.batch_size.add(len(seq_metadata_list))
+        self.num_processed_tokens += num_tokens
+        for m in seq_metadata_list:
+            if not m.is_prompt:
+                self.num_decode_tokens += 1
+                t = m.seq.state.last_token_generation_time
+                if t > 0:
+                    self.tbt.add(t)
+
+    # ------------------------------------------------------------------ #
+    def merge(self, other: "MetricsStore") -> None:
+        """Merge a worker/replica store (ref :867+)."""
+        for name in ("request_e2e_time", "request_e2e_time_normalized",
+                     "prefill_e2e_time", "scheduling_delay", "tbt",
+                     "batch_num_tokens", "batch_size",
+                     "batch_execution_time"):
+            mine, theirs = getattr(self, name), getattr(other, name)
+            mine.xs.extend(theirs.xs)
+            mine.ys.extend(theirs.ys)
+        self.num_preempted += other.num_preempted
+        self.num_completed_requests += other.num_completed_requests
+        self.num_processed_tokens += other.num_processed_tokens
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        wall = time.monotonic() - self._run_start
+        out = {
+            name: getattr(self, name).summary()
+            for name in ("request_e2e_time", "request_e2e_time_normalized",
+                         "prefill_e2e_time", "scheduling_delay", "tbt",
+                         "batch_num_tokens", "batch_size",
+                         "batch_execution_time")
+        }
+        out["totals"] = {
+            "wall_time_s": wall,
+            "completed_requests": self.num_completed_requests,
+            "processed_tokens": self.num_processed_tokens,
+            "decode_tokens": self.num_decode_tokens,
+            "preemptions": self.num_preempted,
+            "tokens_per_s": (self.num_processed_tokens / wall
+                             if wall > 0 else 0.0),
+            "makespan_s": self.request_e2e_time.max,
+        }
+        return out
+
+    def plot(self) -> None:
+        """Write CSVs + summary json (+ chrome trace) to output_dir."""
+        if not self.enabled:
+            return
+        os.makedirs(self.config.output_dir, exist_ok=True)
+        for name in ("request_e2e_time", "request_e2e_time_normalized",
+                     "prefill_e2e_time", "scheduling_delay", "tbt",
+                     "batch_num_tokens", "batch_size",
+                     "batch_execution_time"):
+            getattr(self, name).to_csv(
+                os.path.join(self.config.output_dir, f"{name}.csv"))
+        with open(os.path.join(self.config.output_dir,
+                               "summary.json"), "w") as f:
+            json.dump(self.summary(), f, indent=2)
+        if self.config.enable_chrome_trace and self._chrome_events:
+            with open(os.path.join(self.config.output_dir,
+                                   "chrome_trace.json"), "w") as f:
+                json.dump({"traceEvents": self._chrome_events}, f)
+        logger.info("metrics written to %s", self.config.output_dir)

@@ -1,0 +1,60 @@
+"""vATTN attention backend: dense Pallas kernels over the contiguous arena.
+
+TPU analog of the reference's vattention FlashAttention wrapper
+(sarathi-lean vattention_flashattention_wrapper.py:17-224): prefill chunk
+attends its contiguous slab, decode batch attends via per-slot extent
+tables; K/V appended with the cache_flat-equivalent kernel beforehand.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from vattention_tpu.model_executor.step_inputs import StepInputs
+from vattention_tpu.ops.cache_append import cache_append
+from vattention_tpu.ops.flash_decode import flash_decode
+from vattention_tpu.ops.flash_prefill import flash_prefill
+from vattention_tpu.ops.utils import cdiv, select_kv_tile
+
+
+class VattnAttentionBackend:
+    """Holds static kernel-shape choices for a model/cache config."""
+
+    def __init__(self, *, block_tokens: int, num_segments: int,
+                 max_context_len: int, arena_rows: int,
+                 q_tile: int = 128, kv_tile: Optional[int] = None):
+        self.q_tile = q_tile
+        self.kv_tile = kv_tile or select_kv_tile(block_tokens)
+        self.num_segments = num_segments
+        # tiles bounded by the max context (not arena size) to keep the
+        # skipped-tile tail of the grid short
+        self.max_kv_tiles = cdiv(min(max_context_len, arena_rows),
+                                 self.kv_tile)
+
+    def append_kv(self, kv_cache, k, v, inputs: StepInputs, layer_idx):
+        """layer_idx: [1] int32 array."""
+        return cache_append(kv_cache, k, v, inputs.append_rows, layer_idx)
+
+    def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,
+               n_prefill_tokens: int, *, sm_scale: float):
+        """q: [T, Hq, D] -> [T, Hq, D].  ``n_prefill_tokens`` is static."""
+        outs = []
+        if n_prefill_tokens > 0:
+            qinfo = jnp.concatenate(
+                [inputs.pre_qinfo, layer_idx.astype(jnp.int32)])
+            outs.append(flash_prefill(
+                q[:n_prefill_tokens], kv_cache,
+                inputs.pre_seg_row, inputs.pre_seg_cum, qinfo,
+                q_tile=self.q_tile, kv_tile=self.kv_tile,
+                num_segments=self.num_segments, sm_scale=sm_scale,
+                max_kv_tiles=self.max_kv_tiles))
+        if q.shape[0] > n_prefill_tokens:
+            outs.append(flash_decode(
+                q[n_prefill_tokens:], kv_cache,
+                inputs.dec_seg_row, inputs.dec_seg_cum, inputs.dec_seqlens,
+                layer_idx.astype(jnp.int32),
+                kv_tile=self.kv_tile, num_segments=self.num_segments,
+                sm_scale=sm_scale, max_kv_tiles=self.max_kv_tiles))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

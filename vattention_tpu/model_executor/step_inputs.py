@@ -1,0 +1,42 @@
+"""StepInputs: the fixed-shape pytree handed to the jitted serving step.
+
+TPU-first design note: everything under jit is traced once per
+(n_prefill_tokens, B) signature, so the whole per-iteration state --
+flattened tokens, extent tables, sampling params -- is carried in arrays
+of static shape.  The token layout mirrors the reference's batch-ordering
+contract (prefills before decodes, model_runner.py:79-106):
+
+    [0, n_prefill_tokens)            one sequence's prompt chunk (padded)
+    [n_prefill_tokens, n_pre + B)    one decode token per batch SLOT
+                                     (slot b at index n_pre + b)
+
+Decode tokens are slot-indexed (the allocator's batch indices), which is
+what lets the decode kernel consume per-slot extent tables directly --
+the TPU generalization of the reference's ``cache_batch_idx``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+
+
+class StepInputs(NamedTuple):
+    token_ids: jax.Array       # [T] int32
+    positions: jax.Array       # [T] int32
+    append_rows: jax.Array     # [T] int32 arena row per token (-1 = skip)
+    # prefill metadata (one sequence per step; zeroed when absent)
+    pre_seg_row: jax.Array     # [S] int32
+    pre_seg_cum: jax.Array     # [S+1] int32
+    pre_qinfo: jax.Array       # [2] int32 (q_start, kv_len)
+    # decode metadata (slot-indexed)
+    dec_seg_row: jax.Array     # [B, S] int32
+    dec_seg_cum: jax.Array     # [B, S+1] int32
+    dec_seqlens: jax.Array     # [B] int32 (0 = not decoding this step)
+    # sampling
+    sample_idx: jax.Array      # [B] int32 index into [T] (-1 = invalid)
+    temperatures: jax.Array    # [B] float32
+    top_p: jax.Array           # [B] float32
+    top_k: jax.Array           # [B] int32
+    rng: jax.Array             # PRNG key

@@ -1,0 +1,148 @@
+"""Batched decode flash attention over the contiguous KV arena.
+
+TPU-native equivalent of ``flash_attn_with_kvcache(q, cache, cache_seqlens,
+cache_batch_idx)`` for the decode phase (ref: sarathi-lean
+vattention_flashattention_wrapper.py:191-205): every scheduled sequence
+contributes one query token that attends over its KV history in the arena.
+The reference's ``cache_batch_idx`` gather generalizes to per-request
+extent tables resolved in BlockSpec index_maps (scalar prefetch); the
+Pallas pipeline double-buffers KV tile DMAs and elides fetches for tiles
+beyond a sequence's length (clamped index trick).
+
+Decode is HBM-bandwidth-bound: each KV row is read exactly once per step,
+and whole-head tiles ([kv_tile, Hkv, D], row-major) make each DMA one
+contiguous stream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, interpret_mode,
+                                      seg_row_lookup)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    seg_row_ref, seg_cum_ref, seqlens_ref, dinfo_ref,
+    # blocks
+    q_ref, k_ref, v_ref, out_ref,
+    # scratch
+    m_ref, l_ref, acc_ref,
+    *, kv_tile: int, num_segments: int, sm_scale: float,
+):
+    b = pl.program_id(0)
+    kt = pl.program_id(1)
+    kv_len = seqlens_ref[b]
+    n_tiles = pl.cdiv(kv_len, kv_tile)  # 0 when inactive
+
+    @pl.when(kt == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(kt < n_tiles)
+    def _compute():
+        Hq, D = q_ref.shape
+        Hkv = k_ref.shape[0]
+        G = Hq // Hkv
+        q = q_ref[...].reshape(Hkv, G, D)
+        k = k_ref[...]  # [Hkv, kv_tile, D]
+        s = jax.lax.dot_general(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [Hkv, G, kv_tile]
+        s = s * sm_scale
+        kv_pos = kt * kv_tile + jax.lax.broadcasted_iota(
+            jnp.int32, (G, kv_tile), 1)
+        s = jnp.where((kv_pos < kv_len)[None], s, MASK_VALUE)
+
+        m_prev = m_ref[...]  # [Hkv, G]
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1)
+        v = v_ref[...]
+        pv = jax.lax.dot_general(
+            p, v.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [Hkv, G, D]
+        acc_ref[...] = acc_ref[...] * alpha[..., None] + pv
+        m_ref[...] = m_new
+
+        @pl.when(kt == n_tiles - 1)
+        def _finish():
+            l = l_ref[...]
+            l = jnp.where(l == 0.0, 1.0, l)
+            o = acc_ref[...] / l[..., None]  # [Hkv, G, D]
+            out_ref[...] = o.reshape(Hq, D).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kv_tile", "num_segments", "sm_scale",
+                     "max_kv_tiles"))
+def flash_decode(
+    q: jax.Array,            # [B, Hq, D]
+    kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
+    seg_row: jax.Array,      # [B, S] int32
+    seg_cum: jax.Array,      # [B, S+1] int32
+    seqlens: jax.Array,      # [B] int32 (0 = inactive slot)
+    dinfo: jax.Array,        # [1] int32: (layer,)
+    *,
+    kv_tile: int = 256,
+    num_segments: int = 8,
+    sm_scale: float | None = None,
+    max_kv_tiles: int | None = None,
+) -> jax.Array:
+    B, Hq, D = q.shape
+    L, _, Hkv, R, _ = kv_cache.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    if max_kv_tiles is None:
+        max_kv_tiles = cdiv(R, kv_tile)
+    G = Hq // Hkv
+
+    def kv_index_map(b, kt, seg_row_ref, seg_cum_ref, seqlens_ref,
+                     dinfo_ref, kv01):
+        layer = dinfo_ref[0]
+        n_tiles = pl.cdiv(seqlens_ref[b], kv_tile)
+        t_eff = jnp.clip(kt, 0, jnp.maximum(n_tiles - 1, 0))
+        row = seg_row_lookup(t_eff * kv_tile, seg_row_ref, seg_cum_ref,
+                             num_segments, prefix=(b,))
+        return (layer, kv01, 0, row // kv_tile, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, max_kv_tiles),
+        in_specs=[
+            pl.BlockSpec((None, Hq, D), lambda b, kt, *_: (b, 0, 0)),
+            pl.BlockSpec((None, None, Hkv, kv_tile, D),
+                         functools.partial(kv_index_map, kv01=0)),
+            pl.BlockSpec((None, None, Hkv, kv_tile, D),
+                         functools.partial(kv_index_map, kv01=1)),
+        ],
+        out_specs=pl.BlockSpec((None, Hq, D), lambda b, kt, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, G), jnp.float32),      # m
+            pltpu.VMEM((Hkv, G), jnp.float32),      # l
+            pltpu.VMEM((Hkv, G, D), jnp.float32),   # acc
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel, kv_tile=kv_tile, num_segments=num_segments,
+        sm_scale=sm_scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        interpret=interpret_mode(),
+    )(seg_row, seg_cum, seqlens, dinfo, q, kv_cache, kv_cache)

@@ -1,0 +1,53 @@
+"""Shared kernel utilities."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+@functools.cache
+def interpret_mode() -> bool:
+    """Pallas interpret mode everywhere except real TPU (CPU test tier)."""
+    return jax.default_backend() != "tpu"
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+def select_kv_tile(block_tokens: int, preferred: int = 512) -> int:
+    """KV tile size: must divide the allocator's block_tokens so tiles
+    never straddle extent boundaries (extents are block-aligned)."""
+    t = min(block_tokens, preferred)
+    while block_tokens % t != 0:
+        t -= 1
+    return max(t, 1)
+
+
+def seg_row_lookup(pos, seg_row_ref, seg_cum_ref, num_segments: int,
+                   prefix=()):
+    """Arena row for token position ``pos`` given extent tables.
+
+    ``seg_row_ref[*prefix, j]``: arena row where extent j starts;
+    ``seg_cum_ref[*prefix, j]``: cumulative token count before extent j
+    (index S = total mapped).  Statically unrolled over the (small) extent
+    budget -- pure scalar ops, usable inside BlockSpec index_maps (scalar
+    prefetch).  ``prefix`` selects the request row in batched tables.
+    """
+    row = jnp.zeros((), jnp.int32)
+    for j in range(num_segments):
+        lo = seg_cum_ref[(*prefix, j)]
+        hi = seg_cum_ref[(*prefix, j + 1)]
+        within = jnp.logical_and(pos >= lo, pos < hi)
+        row = jnp.where(within, seg_row_ref[(*prefix, j)] + pos - lo, row)
+    return row

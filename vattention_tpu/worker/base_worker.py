@@ -1,0 +1,145 @@
+"""Worker: owns model runner + cache engine for one device (group).
+
+ref: sarathi-lean/sarathi/worker/base_worker.py:45-284.  The reference
+spawns one Ray actor per GPU with NCCL process groups; under
+single-controller JAX one worker drives the whole mesh -- device
+parallelism lives inside the jitted step (GSPMD/shard_map), so there is
+no actor fan-out and no NCCL init.  Multi-host serving replicas come
+from the benchmark launcher (one engine per replica).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from vattention_tpu.config import SystemConfig
+from vattention_tpu.core.datatypes.scheduler_output import SchedulerOutputs
+from vattention_tpu.core.datatypes.sequence import SamplerOutputs, Sequence
+from vattention_tpu.core.sequence_manager.worker_sequence_manager import (
+    WorkerSequenceManager,
+)
+from vattention_tpu.logger import init_logger
+from vattention_tpu.metrics.metrics_store import MetricsStore
+from vattention_tpu.model_executor.attention import AttentionBackend
+
+logger = init_logger(__name__)
+
+# default HBM per chip when the backend does not report it (v5e = 16GB)
+_DEFAULT_HBM_BYTES = 16 * 1024**3
+# headroom for activations/workspace inside the jitted step
+_WORKSPACE_BYTES = 1 * 1024**3
+
+
+class BaseWorker:
+    def __init__(self, config: SystemConfig, *, seed: int = 0):
+        self.config = config
+        self.seed = seed
+        self.seq_manager = WorkerSequenceManager(
+            config.cache_config, config.scheduler_config)
+        self.metrics_store = MetricsStore.get_or_create(config.metrics_config)
+        self.cache_engine = None
+        self.model_runner = None
+
+    # ------------------------------------------------------------------ #
+    def _param_bytes(self) -> int:
+        a = self.config.model_config.arch
+        tp = self.config.parallel_config.tensor_parallel_size
+        D = a.head_dim
+        per_layer = (a.hidden_size * (a.num_q_heads + 2 * a.num_kv_heads) * D
+                     + a.num_q_heads * D * a.hidden_size
+                     + 3 * a.hidden_size * a.intermediate_size)
+        total = (a.num_layers * per_layer // tp
+                 + 2 * a.vocab_size * a.hidden_size)
+        return total * self.config.model_config.dtype_bytes
+
+    def profile_num_available_blocks(
+            self, memory_utilization: float) -> tuple:
+        """ref model_runner.profile_num_available_blocks:119-225.
+
+        Peak-memory math from the architecture (the reference runs a dummy
+        forward; here the step's activation footprint is bounded by a
+        fixed workspace reservation, and the XLA-reported per-device
+        limit is used when available).
+        """
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        total = _DEFAULT_HBM_BYTES if on_tpu else 2 * 1024**3
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and "bytes_limit" in stats:
+                total = stats["bytes_limit"]
+        except Exception:  # noqa: BLE001 -- CPU backend has no stats
+            pass
+        workspace = _WORKSPACE_BYTES if on_tpu else 0
+        memory_for_kv = int(total * memory_utilization
+                            - self._param_bytes() - workspace)
+        memory_for_kv = max(memory_for_kv, 64 * 1024 * 1024)
+
+        # KV-block geometry (must match the allocator's math)
+        cc = self.config.cache_config
+        mc = self.config.model_config
+        pc = self.config.parallel_config
+        kv_bytes_per_token = (mc.get_num_kv_heads(pc) * mc.get_head_size()
+                              * mc.dtype_bytes * 2
+                              * mc.get_num_layers(pc))
+        # the arena can never use more than max concurrent context; use the
+        # page-derived KV-block granularity (what the allocator will use),
+        # plus one block of growth slack per slot
+        kv_bytes_per_token_layer = (mc.get_num_kv_heads(pc)
+                                    * mc.get_head_size() * mc.dtype_bytes)
+        block_tokens = max(1, cc.page_size // kv_bytes_per_token_layer)
+        per_slot_tokens = (-(-mc.max_model_len // block_tokens) + 1) \
+            * block_tokens
+        max_useful = (cc.max_batch_size * per_slot_tokens
+                      * kv_bytes_per_token)
+        memory_for_kv = min(memory_for_kv, max_useful)
+        num_blocks = memory_for_kv // (cc.block_size * kv_bytes_per_token)
+        logger.info(
+            "profiled: %.2f GB for KV cache -> %d blocks of %d tokens",
+            memory_for_kv / 2**30, num_blocks, cc.block_size)
+        return int(num_blocks), int(memory_for_kv)
+
+    # ------------------------------------------------------------------ #
+    def init_cache_engine(self) -> None:
+        from vattention_tpu.model_executor.model_runner import ModelRunner
+        from vattention_tpu.worker.cache_engine import get_cache_engine
+
+        self.cache_engine = get_cache_engine(self.config)
+        self.model_runner = ModelRunner(
+            self.config, self.cache_engine, seed=self.seed)
+
+    # ------------------------------------------------------------------ #
+    def add_seq(self, seq: Sequence) -> None:
+        self.seq_manager.add_seq(seq)
+
+    def get_free_blocks(self) -> int:
+        return self.cache_engine.get_free_blocks()
+
+    def execute_model(self, scheduler_outputs: SchedulerOutputs,
+                      seq_metadata_list) -> Optional[SamplerOutputs]:
+        """ref base_worker.execute_model:173-208.
+
+        In-process the engine's sequence manager is authoritative (there is
+        no Ray process boundary to replicate state across), so the worker
+        receives the already-materialized metadata and only does memory +
+        compute; status transitions happen once, engine-side.
+        """
+        # free preempted sequences' slots first (ref :183-184)
+        for seq_id in scheduler_outputs.preempted_seq_ids:
+            self.cache_engine.free_seq(seq_id)
+        self.cache_engine.step(seq_metadata_list)
+        sampler_outputs = self.model_runner.run(seq_metadata_list)
+        self.metrics_store.on_batch_end(seq_metadata_list, scheduler_outputs)
+        return sampler_outputs
+
+    def on_step_completed(self, seq_metadata_list) -> None:
+        """Free finished sequences' cache slots (after the engine has
+        applied sampler outputs + stop checks)."""
+        self.cache_engine.on_step_completion(seq_metadata_list)
+
+    def cleanup(self) -> None:
+        if self.cache_engine is not None:
+            self.cache_engine.cleanup()

@@ -1,0 +1,173 @@
+"""vATTN cache engine: flat HBM arena + extent allocator.
+
+ref: sarathi-lean/sarathi/worker/cache_engine/vATTN_cache_engine.py:18-195.
+Owns the stacked arena array [L, 2, Hkv, R, D], maps sequences to batch
+slots (best-fit reuse via the allocator), calls ``step_async`` once per
+iteration, and applies any relocation plan as an async device copy
+overlapped with the forward pass (the reference's background-thread
+cuMemMap analog).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from vattention_tpu.config import SystemConfig
+from vattention_tpu.core.datatypes.sequence import SequenceMetadata
+from vattention_tpu.logger import init_logger
+from vattention_tpu.memory.allocator import VAttentionAllocator
+from vattention_tpu.model_executor.attention import AttentionBackend
+from vattention_tpu.ops.arena_copy import apply_relocations
+from vattention_tpu.worker.cache_engine.base_cache_engine import (
+    BaseCacheEngine,
+)
+
+logger = init_logger(__name__)
+
+
+class VAttnCacheEngine(BaseCacheEngine):
+    def __init__(self, config: SystemConfig, *, dtype=None, sharding=None):
+        super().__init__(config)
+        model_config = config.model_config
+        if dtype is None:
+            dtype = (jnp.float32 if model_config.dtype == "float32"
+                     else jnp.bfloat16)
+        cache_config = config.cache_config
+        parallel_config = config.parallel_config
+
+        self.num_layers = model_config.get_num_layers(parallel_config)
+        self.num_kv_heads = model_config.get_num_kv_heads(parallel_config)
+        self.head_size = model_config.get_head_size()
+        self.dtype = dtype
+        self.max_batch_size = cache_config.max_batch_size
+        backend = AttentionBackend.resolve(model_config.attention_backend)
+        self.sync_mode = AttentionBackend.is_sync(backend)
+
+        self.allocator = VAttentionAllocator()
+        self.allocator.init_kvcache(
+            num_layers=self.num_layers,
+            num_kv_heads=self.num_kv_heads,
+            head_size=self.head_size,
+            max_batch_size=self.max_batch_size,
+            max_context_length=model_config.max_model_len,
+            dtype_bytes=np.dtype(
+                "float32" if dtype == jnp.float32 else "bfloat16").itemsize,
+            page_size=cache_config.page_size,
+            megacache=AttentionBackend.is_megacache(backend)
+            or cache_config.megacache,
+        )
+        assert cache_config.memory_for_gpu is not None, \
+            "profile memory before creating the cache engine"
+        num_pages = self.allocator.reserve_physical_pages(
+            cache_config.memory_for_gpu)
+        self.block_tokens = self.allocator.block_tokens
+        R = self.allocator.arena_tokens
+        logger.info(
+            "vATTN arena: %d KV blocks (%d pages, %d tokens/block, "
+            "%d arena rows, %.2f GB)", self.allocator.num_arena_blocks,
+            num_pages, self.block_tokens, R,
+            self.allocator.num_arena_blocks
+            * self.allocator.kvblock_bytes / 2**30)
+        self.kv_cache = jnp.zeros(
+            (self.num_layers, 2, self.num_kv_heads, max(R, 1),
+             self.head_size), dtype=self.dtype)
+        if sharding is not None:
+            import jax
+            self.kv_cache = jax.device_put(self.kv_cache, sharding)
+
+        # seq_id -> batch slot (ref vATTN_cache_engine.py:91-124)
+        self.batch_idx: Dict[str, int] = {}
+        self.pending_moves = 0  # telemetry
+
+    # ------------------------------------------------------------------ #
+    def _seq_len_for_step(self, meta: SequenceMetadata) -> int:
+        seq = meta.seq
+        if meta.is_prompt:
+            return seq.get_num_prompt_tokens_processed() + meta.prompt_chunk_len
+        return seq.get_len()
+
+    def step(self, seq_metadata_list: List[SequenceMetadata]) -> None:
+        # assign slots to new sequences (best-fit reuse, ref :137-143)
+        for meta in seq_metadata_list:
+            if meta.seq_id in self.batch_idx:
+                continue
+            idx = self.allocator.alloc_new_batch_idx(
+                self._seq_len_for_step(meta))
+            assert idx != -1, "no free batch slot (scheduler over-admitted)"
+            self.batch_idx[meta.seq_id] = idx
+
+        seq_lens = self.allocator.seq_lens.copy()
+        for meta in seq_metadata_list:
+            seq_lens[self.batch_idx[meta.seq_id]] = self._seq_len_for_step(meta)
+
+        if self.sync_mode:
+            plan = self.allocator.step_sync(seq_lens)
+        else:
+            plan = self.allocator.step_async(seq_lens)
+        if plan:
+            self._apply_plan(plan)
+
+    def _apply_plan(self, plan) -> None:
+        """Dispatch relocation copies asynchronously on device."""
+        n = len(plan.moves)
+        # pad the move list to pow2 buckets to bound recompiles
+        m = 1
+        while m < n:
+            m *= 2
+        src = np.zeros(m, np.int32)
+        dst = np.zeros(m, np.int32)
+        for i, mv in enumerate(plan.moves):
+            src[i], dst[i] = mv.src, mv.dst
+        self.kv_cache = apply_relocations(
+            self.kv_cache, jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray([n], jnp.int32), block_tokens=self.block_tokens)
+        self.pending_moves += n
+
+    # ------------------------------------------------------------------ #
+    def slot_of(self, seq_id: str) -> int:
+        return self.batch_idx[seq_id]
+
+    def get_batch_segments(self):
+        return self.allocator.get_batch_segments()
+
+    def get_slot_rows(self, slot: int, start_pos: int, n: int) -> np.ndarray:
+        """Arena rows for token positions [start_pos, start_pos+n)."""
+        rows = np.empty(n, np.int32)
+        seg_row, seg_tok = self.allocator.get_batch_segments()
+        cum = 0
+        i = 0
+        for j in range(self.allocator.max_segments):
+            length = int(seg_tok[slot, j])
+            lo, hi = cum, cum + length
+            a = max(start_pos, lo)
+            b = min(start_pos + n, hi)
+            if a < b:
+                base = int(seg_row[slot, j])
+                rows[a - start_pos:b - start_pos] = (
+                    base + np.arange(a - lo, b - lo, dtype=np.int32))
+                i += b - a
+            cum = hi
+        assert i == n, f"positions beyond mapped extents ({i} != {n})"
+        return rows
+
+    def free_seq(self, seq_id: str) -> None:
+        """ref preempt_requests / on_step_completion frees (:126-129)."""
+        idx = self.batch_idx.pop(seq_id, None)
+        if idx is not None:
+            self.allocator.free_batch_idx(idx)
+
+    def on_step_completion(
+            self, seq_metadata_list: List[SequenceMetadata]) -> None:
+        for meta in seq_metadata_list:
+            if meta.seq.is_finished():
+                self.free_seq(meta.seq_id)
+
+    def get_free_blocks(self) -> int:
+        return int(self.allocator.num_free_kvblocks())
+
+    def cleanup(self) -> None:
+        self.allocator.cleanup()
+        self.kv_cache = None
