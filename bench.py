@@ -1,0 +1,121 @@
+"""Headline benchmark: serving throughput (tokens/s/chip) on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: continuous-batching decode steady state on a Yi-6B-class model
+(the reference benchmark grid's tp1 model, scripts/utils.py:27-32) with
+the fa_vattn contiguous-arena backend -- B concurrent requests, each with
+a prefilled context, decoding greedily.
+
+``vs_baseline`` is measured throughput / HBM-bandwidth roofline for the
+same step (weights read once per step + each request's KV read once), so
+1.0 means the decode step runs at memory speed-of-light.  A paged
+(block-table) backend A/B lands in this harness as it comes online.
+
+Usage: python bench.py [--quick] [--model yi-6b-200k] [--batch 32]
+       [--ctx 2048] [--steps 30]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+# v5e HBM bandwidth (bytes/s) for the roofline denominator
+HBM_BW = 819e9
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="tiny CPU smoke run (sanity only)")
+    p.add_argument("--model", default="yi-6b-200k")
+    p.add_argument("--backend", default="fa_vattn_2mb")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--ctx", type=int, default=2048)
+    p.add_argument("--decode-steps", type=int, default=30)
+    p.add_argument("--max-model-len", type=int, default=4096)
+    args = p.parse_args()
+
+    if args.quick:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.model = "tiny-llama-debug"
+        args.batch, args.ctx, args.decode_steps = 2, 256, 3
+        args.max_model_len = 1024
+
+    from vattention_tpu import LLMEngine, SamplingParams
+    from vattention_tpu.config import get_model_arch
+
+    engine = LLMEngine.from_engine_args(
+        model=args.model,
+        load_format="zero",
+        attention_backend=args.backend,
+        scheduler_type="sarathi",
+        chunk_size=512,
+        max_model_len=args.max_model_len,
+        max_batch_size=args.batch,
+        max_num_seqs=args.batch,
+        gpu_memory_utilization=0.9,
+    )
+
+    many = args.ctx + args.decode_steps + 8
+    for i in range(args.batch):
+        engine.add_request(
+            prompt=None,
+            prompt_token_ids=[(7 * i + j) % 1000 + 1
+                              for j in range(args.ctx)],
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=args.decode_steps + 8,
+                ignore_eos=True),
+            seq_id=f"b{i}")
+
+    # run prefills until every request is decoding
+    while True:
+        outs = engine.step()
+        sched = engine.scheduler
+        if all(s.prompt_processing_finished for s in sched.running) \
+                and not sched.waiting:
+            break
+
+    # timed decode steady state
+    for _ in range(3):
+        engine.step()  # warm the decode-only signature
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(args.decode_steps):
+        engine.step()
+        n += args.batch
+    dt = time.perf_counter() - t0
+    tokens_per_s = n / dt
+
+    # memory roofline for one decode step
+    arch = get_model_arch(args.model)
+    dtype_bytes = 2
+    param_bytes = (arch.num_layers * (
+        arch.hidden_size * (arch.num_q_heads + 2 * arch.num_kv_heads)
+        * arch.head_dim
+        + arch.num_q_heads * arch.head_dim * arch.hidden_size
+        + 3 * arch.hidden_size * arch.intermediate_size)
+        + 2 * arch.vocab_size * arch.hidden_size) * dtype_bytes
+    kv_bytes = (args.batch * args.ctx * arch.num_kv_heads * arch.head_dim
+                * 2 * arch.num_layers * dtype_bytes)
+    roofline_step = (param_bytes + kv_bytes) / HBM_BW
+    roofline_tps = args.batch / roofline_step
+    vs_baseline = tokens_per_s / roofline_tps
+
+    engine.cleanup()
+    print(json.dumps({
+        "metric": "decode_tokens_per_s_per_chip",
+        "value": round(tokens_per_s, 1),
+        "unit": f"tok/s ({args.model} B={args.batch} ctx={args.ctx} "
+                f"{args.backend})",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

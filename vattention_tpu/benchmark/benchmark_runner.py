@@ -1,0 +1,83 @@
+"""Benchmark runner (ref: sarathi-lean/sarathi/benchmark/benchmark_runner.py:23-348).
+
+Builds an engine from flags, synthesizes requests (dummy token ids, like
+the reference's load_format=dummy path :115-131), adds them all with
+future arrival times, and steps until done or the time limit.  The
+multi-replica launcher maps to one engine per replica round-robin
+(ref :52,201-348); single replica is the common path on one chip.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from vattention_tpu.benchmark.request_generator.base import (
+    Request, RequestGeneratorRegistry)
+from vattention_tpu.core.datatypes.sampling_params import SamplingParams
+from vattention_tpu.engine.llm_engine import LLMEngine
+from vattention_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+class BenchmarkRunner:
+    def __init__(self, engine_kwargs: dict, generator_provider: str,
+                 generator_config: dict, *,
+                 time_limit_s: Optional[float] = None,
+                 warmup: bool = True):
+        self.engine = LLMEngine.from_engine_args(**engine_kwargs)
+        self.generator = RequestGeneratorRegistry.get(
+            generator_provider, generator_config)
+        self.time_limit_s = time_limit_s or float("inf")
+        self.warmup = warmup
+        self.rng = np.random.default_rng(0)
+
+    def _make_prompt(self, n: int) -> List[int]:
+        return self.rng.integers(1, 1000, n).tolist()
+
+    def _add_requests(self, requests: List[Request], base_time: float):
+        for i, req in enumerate(requests):
+            self.engine.add_request(
+                prompt=None,
+                prompt_token_ids=self._make_prompt(req.num_prefill_tokens),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=req.num_decode_tokens,
+                    ignore_eos=True),
+                arrival_time=base_time + req.arrival_time,
+                seq_id=f"bench{i}")
+
+    def _warmup(self) -> None:
+        """ref :133-144 -- one tiny request through the engine to compile
+        both step signatures before timing."""
+        self.engine.add_request(
+            prompt=None, prompt_token_ids=self._make_prompt(32),
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=3,
+                                           ignore_eos=True),
+            seq_id="warmup")
+        while self.engine.has_unfinished_requests():
+            self.engine.step()
+        self.engine.reset_metrics()
+
+    def run(self) -> dict:
+        if self.warmup:
+            self._warmup()
+        requests = self.generator.generate()
+        base = time.monotonic()
+        self._add_requests(requests, base)
+        num_steps = 0
+        t0 = time.monotonic()
+        while self.engine.has_unfinished_requests():
+            if time.monotonic() - t0 > self.time_limit_s:
+                logger.warning("time limit hit with %d unfinished requests",
+                               self.engine.get_num_unfinished_requests())
+                break
+            self.engine.step()
+            num_steps += 1
+        store = self.engine.get_metric_store()
+        summary = store.summary()
+        summary["totals"]["num_steps"] = num_steps
+        store.plot()
+        return summary

@@ -1,0 +1,124 @@
+"""Benchmark entry point (ref: sarathi-lean/sarathi/benchmark/main.py).
+
+Flags mirror the reference's flattened `section_key` convention where it
+matters; `--test` shrinks everything to a smoke run
+(ref scripts/utils.py:8, benchmark_e2e_static_trace.py:20-22).
+
+Examples:
+  python -m vattention_tpu.benchmark.main --test
+  python -m vattention_tpu.benchmark.main \
+      --model yi-6b-200k --attention-backend fa_vattn_2mb \
+      --request-generator-provider synthetic \
+      --interval-generator static --length-generator fixed \
+      --num-requests 50 --prefill-tokens 32768 --decode-tokens 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def add_args(p: argparse.ArgumentParser):
+    p.add_argument("--test", action="store_true",
+                   help="tiny smoke run on the CPU backend")
+    # engine
+    p.add_argument("--model", default="yi-6b-200k")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--load-format", default="zero")
+    p.add_argument("--attention-backend", default="fa_vattn_2mb")
+    p.add_argument("--scheduler-type", default="sarathi")
+    p.add_argument("--chunk-size", type=int, default=512)
+    p.add_argument("--max-model-len", type=int, default=None)
+    p.add_argument("--max-batch-size", type=int, default=32)
+    p.add_argument("--max-num-seqs", type=int, default=32)
+    p.add_argument("--gpu-memory-utilization", type=float, default=0.9)
+    p.add_argument("--enable-dynamic-chunking-schedule", action="store_true")
+    p.add_argument("--low-chunk-size", type=int, default=None)
+    p.add_argument("--high-chunk-size", type=int, default=None)
+    p.add_argument("--chunk-schedule-max-tokens", type=int, default=None)
+    p.add_argument("--chunk-schedule-stages", type=int, default=None)
+    # workload
+    p.add_argument("--request-generator-provider", default="synthetic")
+    p.add_argument("--interval-generator", default="static")
+    p.add_argument("--length-generator", default="fixed")
+    p.add_argument("--num-requests", type=int, default=8)
+    p.add_argument("--prefill-tokens", type=int, default=1024)
+    p.add_argument("--decode-tokens", type=int, default=64)
+    p.add_argument("--min-tokens", type=int, default=128)
+    p.add_argument("--max-tokens", type=int, default=4096)
+    p.add_argument("--qps", type=float, default=1.0)
+    p.add_argument("--cv", type=float, default=0.5)
+    p.add_argument("--zipf-theta", type=float, default=0.6)
+    p.add_argument("--trace-file", default=None)
+    p.add_argument("--prefill-scale-factor", type=float, default=1.0)
+    p.add_argument("--decode-scale-factor", type=float, default=1.0)
+    p.add_argument("--time-limit", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    # metrics
+    p.add_argument("--output-dir", default="benchmark_output")
+    p.add_argument("--enable-chrome-trace", action="store_true")
+    p.add_argument("--no-warmup", action="store_true")
+    return p
+
+
+def run_from_args(args) -> dict:
+    if args.test:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.model = "tiny-llama-debug"
+        args.num_requests = 2
+        args.prefill_tokens = min(args.prefill_tokens, 256)
+        args.decode_tokens = min(args.decode_tokens, 8)
+        args.max_model_len = 2048
+        args.max_batch_size = 4
+        args.max_num_seqs = 4
+        args.chunk_size = 128
+
+    from vattention_tpu.benchmark.benchmark_runner import BenchmarkRunner
+
+    engine_kwargs = dict(
+        model=args.model, dtype=args.dtype, load_format=args.load_format,
+        attention_backend=args.attention_backend,
+        scheduler_type=args.scheduler_type, chunk_size=args.chunk_size,
+        max_model_len=args.max_model_len,
+        max_batch_size=args.max_batch_size, max_num_seqs=args.max_num_seqs,
+        gpu_memory_utilization=args.gpu_memory_utilization,
+        enable_dynamic_chunking_schedule=(
+            args.enable_dynamic_chunking_schedule),
+        low_chunk_size=args.low_chunk_size,
+        high_chunk_size=args.high_chunk_size,
+        chunk_schedule_max_tokens=args.chunk_schedule_max_tokens,
+        chunk_schedule_stages=args.chunk_schedule_stages,
+        write_metrics=True, output_dir=args.output_dir,
+        enable_chrome_trace=args.enable_chrome_trace,
+    )
+    generator_config = dict(
+        num_requests=args.num_requests,
+        prefill_tokens=args.prefill_tokens,
+        decode_tokens=args.decode_tokens,
+        min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+        qps=args.qps, cv=args.cv, theta=args.zipf_theta,
+        trace_file=args.trace_file,
+        prefill_scale_factor=args.prefill_scale_factor,
+        decode_scale_factor=args.decode_scale_factor,
+        interval_generator=args.interval_generator,
+        length_generator=args.length_generator,
+        seed=args.seed,
+    )
+    runner = BenchmarkRunner(
+        engine_kwargs, args.request_generator_provider, generator_config,
+        time_limit_s=args.time_limit, warmup=not args.no_warmup)
+    summary = runner.run()
+    print(json.dumps(summary["totals"], indent=2))
+    return summary
+
+
+def main():
+    args = add_args(argparse.ArgumentParser()).parse_args()
+    run_from_args(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,8 +66,9 @@ class ModelArch:
 # Dims match the public HF configs of the models used by the reference
 # benchmark grid (scripts/utils.py:27-32) plus small test models.
 _ARCH_REGISTRY: Dict[str, ModelArch] = {
+    # head_dim 128 so tiny configs exercise the TPU-native tile shapes
     "tiny-llama-debug": ModelArch(
-        "llama", num_layers=2, num_q_heads=4, num_kv_heads=2, head_dim=64,
+        "llama", num_layers=2, num_q_heads=4, num_kv_heads=2, head_dim=128,
         hidden_size=256, intermediate_size=688, vocab_size=2048,
         max_position_embeddings=8192),
     "opt-125m": ModelArch(

@@ -1,0 +1,45 @@
+"""Paged attention backend (block tables) -- A/B baseline.
+
+ref: sarathi-lean flash_attention_wrapper.py:16-314 (FA_PAGED).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vattention_tpu.model_executor.step_inputs import StepInputs
+from vattention_tpu.ops.cache_append import cache_append_scatter
+from vattention_tpu.ops.paged_attention import (paged_flash_decode,
+                                                paged_flash_prefill)
+from vattention_tpu.ops.utils import cdiv
+
+
+class PagedAttentionBackend:
+    def __init__(self, *, block_size: int, max_context_len: int,
+                 scratch_row: int, q_tile: int = 128):
+        self.scratch_row = scratch_row
+        self.q_tile = q_tile
+        self.block_size = block_size
+        self.max_kv_tiles = cdiv(max_context_len, block_size)
+
+    def append_kv(self, kv_cache, k, v, inputs: StepInputs, layer_idx):
+        return cache_append_scatter(kv_cache, k, v, inputs.append_rows,
+                            layer_idx, self.scratch_row)
+
+    def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,
+               n_prefill_tokens: int, *, sm_scale: float):
+        outs = []
+        if n_prefill_tokens > 0:
+            qinfo = jnp.concatenate(
+                [inputs.pre_qinfo, layer_idx.astype(jnp.int32)])
+            outs.append(paged_flash_prefill(
+                q[:n_prefill_tokens], kv_cache, inputs.pre_seg_row, qinfo,
+                q_tile=self.q_tile, block_size=self.block_size,
+                sm_scale=sm_scale, max_kv_tiles=self.max_kv_tiles))
+        if q.shape[0] > n_prefill_tokens:
+            outs.append(paged_flash_decode(
+                q[n_prefill_tokens:], kv_cache, inputs.dec_seg_row,
+                inputs.dec_seqlens, layer_idx.astype(jnp.int32),
+                block_size=self.block_size, sm_scale=sm_scale,
+                max_kv_tiles=self.max_kv_tiles))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

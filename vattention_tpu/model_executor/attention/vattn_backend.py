@@ -13,7 +13,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from vattention_tpu.model_executor.step_inputs import StepInputs
-from vattention_tpu.ops.cache_append import cache_append
+from vattention_tpu.ops.cache_append import cache_append_scatter
 from vattention_tpu.ops.flash_decode import flash_decode
 from vattention_tpu.ops.flash_prefill import flash_prefill
 from vattention_tpu.ops.utils import cdiv, select_kv_tile
@@ -24,7 +24,10 @@ class VattnAttentionBackend:
 
     def __init__(self, *, block_tokens: int, num_segments: int,
                  max_context_len: int, arena_rows: int,
-                 q_tile: int = 128, kv_tile: Optional[int] = None):
+                 q_tile: int = 128, kv_tile: Optional[int] = None,
+                 scratch_row: Optional[int] = None):
+        self.scratch_row = (arena_rows if scratch_row is None
+                            else scratch_row)
         self.q_tile = q_tile
         self.kv_tile = kv_tile or select_kv_tile(block_tokens)
         self.num_segments = num_segments
@@ -35,7 +38,8 @@ class VattnAttentionBackend:
 
     def append_kv(self, kv_cache, k, v, inputs: StepInputs, layer_idx):
         """layer_idx: [1] int32 array."""
-        return cache_append(kv_cache, k, v, inputs.append_rows, layer_idx)
+        return cache_append_scatter(kv_cache, k, v, inputs.append_rows,
+                            layer_idx, self.scratch_row)
 
     def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,
                n_prefill_tokens: int, *, sm_scale: float):

@@ -53,13 +53,24 @@ class ModelRunner:
             config.scheduler_config.get_max_num_batched_tokens(
                 config.model_config.max_model_len), self.q_tile)
         self.B = config.cache_config.max_batch_size
-        self.S = cache_engine.allocator.max_segments
-        self.backend = VattnAttentionBackend(
-            block_tokens=cache_engine.block_tokens,
-            num_segments=self.S,
-            max_context_len=config.model_config.max_model_len,
-            arena_rows=cache_engine.allocator.arena_tokens,
-            q_tile=self.q_tile)
+        self.S = cache_engine.table_width
+        if cache_engine.kind == "vattn":
+            self.backend = VattnAttentionBackend(
+                block_tokens=cache_engine.block_tokens,
+                num_segments=self.S,
+                max_context_len=config.model_config.max_model_len,
+                arena_rows=cache_engine.allocator.arena_tokens,
+                q_tile=self.q_tile,
+                scratch_row=cache_engine.scratch_row)
+        else:
+            from vattention_tpu.model_executor.attention.paged_backend \
+                import PagedAttentionBackend
+
+            self.backend = PagedAttentionBackend(
+                block_size=cache_engine.block_size,
+                max_context_len=config.model_config.max_model_len,
+                scratch_row=cache_engine.scratch_row,
+                q_tile=self.q_tile)
         self._rng = jax.random.PRNGKey(seed)
         self._step_fn = functools.partial(
             jax.jit, static_argnames=("n_pre",),

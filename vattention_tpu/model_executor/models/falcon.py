@@ -28,13 +28,16 @@ def layer_norm(x, weight, bias, eps):
 
 
 class FalconForCausalLM(LlamaForCausalLM):
-    def init_params(self, rng: np.random.Generator) -> Dict[str, Any]:
+    def init_params(self, rng: np.random.Generator,
+                    zero: bool = False) -> Dict[str, Any]:
         a = self.arch
         H = a.hidden_size
         D = self.head_dim
         qkv_out = (self.hq + 2 * self.hkv) * D
 
         def w(*shape, scale=0.02):
+            if zero:
+                return jnp.zeros(shape, dtype=self.dtype)
             return jnp.asarray(
                 rng.standard_normal(shape) * scale, dtype=self.dtype)
 

@@ -55,14 +55,18 @@ class LlamaForCausalLM:
         self.sm_scale = 1.0 / (arch.head_dim ** 0.5)
 
     # ------------------------------------------------------------------ #
-    def init_params(self, rng: np.random.Generator) -> Dict[str, Any]:
-        """Random (load_format=dummy) per-TP-shard weights."""
+    def init_params(self, rng: np.random.Generator,
+                    zero: bool = False) -> Dict[str, Any]:
+        """Random (load_format=dummy) or zero (load_format=zero, fast
+        benchmark init) per-TP-shard weights."""
         a = self.arch
         H = a.hidden_size
         D = self.head_dim
         qkv_out = (self.hq + 2 * self.hkv) * D
 
         def w(*shape, scale=0.02):
+            if zero:
+                return jnp.zeros(shape, dtype=self.dtype)
             return jnp.asarray(
                 rng.standard_normal(shape) * scale, dtype=self.dtype)
 

@@ -23,6 +23,9 @@ def load_weights(model, model_config: ModelConfig, *, seed: int = 0,
                  tp_rank: int = 0) -> Dict[str, Any]:
     if model_config.load_format == "dummy":
         return model.init_params(np.random.default_rng(seed))
+    if model_config.load_format == "zero":
+        # instant init for perf benchmarks (values never matter there)
+        return model.init_params(np.random.default_rng(seed), zero=True)
     if model_config.load_format == "safetensors":
         return load_safetensors(model, model_config, tp_rank=tp_rank)
     raise ValueError(f"unknown load_format {model_config.load_format!r}")

@@ -80,6 +80,30 @@ def cache_append(
     )(rows, linfo, k_new, v_new, kv_cache)
 
 
+def cache_append_scatter(kv_cache, k_new, v_new, rows, layer_idx,
+                         scratch_row):
+    """XLA-scatter append (TPU default).
+
+    Mosaic cannot DMA a single arena row in the head-major layout (size-1
+    slice on the sublane dim violates tiling), so the production append
+    path lowers to XLA scatter on the donated cache buffer; XLA performs
+    it in place.  Invalid (padding) tokens are routed to ``scratch_row``
+    -- a sacrificial row past the arena the cache engines reserve -- so
+    no read-blend is needed.  ``layer_idx``: [1] int32 array.  An
+    aligned-tile RMW Pallas kernel is the planned optimization if scatter
+    shows up in profiles.
+    """
+    l = layer_idx[0]
+    safe_rows = jnp.where(rows >= 0, rows, scratch_row)
+    k_hm = k_new.transpose(1, 0, 2).astype(kv_cache.dtype)  # [Hkv, T, D]
+    v_hm = v_new.transpose(1, 0, 2).astype(kv_cache.dtype)
+    kv_cache = kv_cache.at[l, 0, :, safe_rows].set(
+        k_hm.transpose(1, 0, 2), unique_indices=False)
+    kv_cache = kv_cache.at[l, 1, :, safe_rows].set(
+        v_hm.transpose(1, 0, 2), unique_indices=False)
+    return kv_cache
+
+
 def cache_append_jnp(kv_cache, k_new, v_new, rows, layer):
     """XLA-scatter fallback/reference (used to validate the kernel)."""
     safe_rows = jnp.where(rows >= 0, rows, 0)

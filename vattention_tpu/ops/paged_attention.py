@@ -1,0 +1,160 @@
+"""Paged (block-table) flash attention -- the A/B baseline backend.
+
+ref: the reference's FA_PAGED / FI_PAGED wrappers
+(sarathi-lean flash_attention_wrapper.py:16-314,
+flashinfer_attention_wrapper.py:14-191) built on block tables of small
+blocks (16-256 tokens).  Here the same Pallas kernel bodies as the vattn
+path (ops/flash_prefill.py, ops/flash_decode.py) run with an O(1)
+block-table lookup in the BlockSpec index_map instead of the extent
+scan: row = table[seq, pos // block_size] * block_size + pos %
+block_size.  KV tiles equal the block size, so small-block configs pay
+the same small-DMA cost the reference's paged baselines pay -- that is
+the point of the A/B.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vattention_tpu.ops.flash_decode import _decode_kernel
+from vattention_tpu.ops.flash_prefill import _prefill_kernel
+from vattention_tpu.ops.utils import cdiv, interpret_mode
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("q_tile", "block_size", "max_kv_tiles", "sm_scale"))
+def paged_flash_prefill(
+    q: jax.Array,            # [Tq, Hq, D], Tq % q_tile == 0
+    kv_cache: jax.Array,     # [L, 2, Hkv, R, D] (R = num_blocks*block_size)
+    block_table: jax.Array,  # [NB] int32 block ids of this sequence
+    qinfo: jax.Array,        # [3] int32 (q_start, kv_len, layer)
+    *,
+    q_tile: int = 128,
+    block_size: int = 256,
+    sm_scale: float | None = None,
+    max_kv_tiles: int | None = None,
+) -> jax.Array:
+    Tq, Hq, D = q.shape
+    L, _, Hkv, R, _ = kv_cache.shape
+    kv_tile = block_size
+    assert Tq % q_tile == 0
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    if max_kv_tiles is None:
+        max_kv_tiles = block_table.shape[0]
+    n_q_tiles = Tq // q_tile
+    G = Hq // Hkv
+    q_hm = q.reshape(Tq, Hkv, G, D).transpose(1, 2, 0, 3)
+
+    def kv_index_map(qt, kt, table_ref, qinfo_ref, kv01):
+        layer = qinfo_ref[2]
+        kv_len = qinfo_ref[1]
+        n_kv_tiles = jnp.maximum(1, pl.cdiv(kv_len, kv_tile))
+        q_last_pos = qinfo_ref[0] + (qt + 1) * q_tile - 1
+        diag_tile = jnp.minimum(q_last_pos // kv_tile, n_kv_tiles - 1)
+        t_eff = jnp.minimum(kt, diag_tile)
+        return (layer, kv01, 0, table_ref[t_eff], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_q_tiles, max_kv_tiles),
+        in_specs=[
+            pl.BlockSpec((Hkv, G, q_tile, D),
+                         lambda qt, kt, *_: (0, 0, qt, 0)),
+            pl.BlockSpec((None, None, Hkv, kv_tile, D),
+                         functools.partial(kv_index_map, kv01=0)),
+            pl.BlockSpec((None, None, Hkv, kv_tile, D),
+                         functools.partial(kv_index_map, kv01=1)),
+        ],
+        out_specs=pl.BlockSpec((Hkv, G, q_tile, D),
+                               lambda qt, kt, *_: (0, 0, qt, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, G * q_tile), jnp.float32),
+            pltpu.VMEM((Hkv, G * q_tile), jnp.float32),
+            pltpu.VMEM((Hkv, G * q_tile, D), jnp.float32),
+        ],
+    )
+
+    def kernel(table_ref, qinfo_ref, q_ref, k_ref, v_ref, out_ref,
+               m_ref, l_ref, acc_ref):
+        # reuse the flash body; it only consumes (seg-agnostic) qinfo
+        _prefill_kernel(table_ref, table_ref, qinfo_ref, q_ref, k_ref,
+                        v_ref, out_ref, m_ref, l_ref, acc_ref,
+                        q_tile=q_tile, kv_tile=kv_tile, num_segments=0,
+                        sm_scale=sm_scale)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hkv, G, Tq, D), q.dtype),
+        interpret=interpret_mode(),
+    )(block_table, qinfo, q_hm, kv_cache, kv_cache)
+    return out.transpose(2, 0, 1, 3).reshape(Tq, Hq, D)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "max_kv_tiles", "sm_scale"))
+def paged_flash_decode(
+    q: jax.Array,            # [B, Hq, D]
+    kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
+    block_table: jax.Array,  # [B, NB] int32
+    seqlens: jax.Array,      # [B] int32
+    dinfo: jax.Array,        # [1] int32 (layer,)
+    *,
+    block_size: int = 256,
+    sm_scale: float | None = None,
+    max_kv_tiles: int | None = None,
+) -> jax.Array:
+    B, Hq, D = q.shape
+    L, _, Hkv, R, _ = kv_cache.shape
+    kv_tile = block_size
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    if max_kv_tiles is None:
+        max_kv_tiles = block_table.shape[1]
+    G = Hq // Hkv
+
+    def kv_index_map(b, kt, table_ref, seqlens_ref, dinfo_ref, kv01):
+        layer = dinfo_ref[0]
+        n_tiles = pl.cdiv(seqlens_ref[b], kv_tile)
+        t_eff = jnp.clip(kt, 0, jnp.maximum(n_tiles - 1, 0))
+        return (layer, kv01, 0, table_ref[b, t_eff], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, max_kv_tiles),
+        in_specs=[
+            pl.BlockSpec((None, Hq, D), lambda b, kt, *_: (b, 0, 0)),
+            pl.BlockSpec((None, None, Hkv, kv_tile, D),
+                         functools.partial(kv_index_map, kv01=0)),
+            pl.BlockSpec((None, None, Hkv, kv_tile, D),
+                         functools.partial(kv_index_map, kv01=1)),
+        ],
+        out_specs=pl.BlockSpec((None, Hq, D), lambda b, kt, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, G), jnp.float32),
+            pltpu.VMEM((Hkv, G), jnp.float32),
+            pltpu.VMEM((Hkv, G, D), jnp.float32),
+        ],
+    )
+
+    def kernel(table_ref, seqlens_ref, dinfo_ref, q_ref, k_ref, v_ref,
+               out_ref, m_ref, l_ref, acc_ref):
+        _decode_kernel(table_ref, table_ref, seqlens_ref, dinfo_ref,
+                       q_ref, k_ref, v_ref, out_ref, m_ref, l_ref,
+                       acc_ref, kv_tile=kv_tile, num_segments=0,
+                       sm_scale=sm_scale)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        interpret=interpret_mode(),
+    )(block_table, seqlens, dinfo, q, kv_cache, kv_cache)

@@ -29,6 +29,8 @@ logger = init_logger(__name__)
 
 
 class VAttnCacheEngine(BaseCacheEngine):
+    kind = "vattn"
+
     def __init__(self, config: SystemConfig, *, dtype=None, sharding=None):
         super().__init__(config)
         model_config = config.model_config
@@ -64,6 +66,7 @@ class VAttnCacheEngine(BaseCacheEngine):
         num_pages = self.allocator.reserve_physical_pages(
             cache_config.memory_for_gpu)
         self.block_tokens = self.allocator.block_tokens
+        self.table_width = self.allocator.max_segments
         R = self.allocator.arena_tokens
         logger.info(
             "vATTN arena: %d KV blocks (%d pages, %d tokens/block, "
@@ -71,8 +74,12 @@ class VAttnCacheEngine(BaseCacheEngine):
             num_pages, self.block_tokens, R,
             self.allocator.num_arena_blocks
             * self.allocator.kvblock_bytes / 2**30)
+        # one extra block of rows past the arena: scratch target for
+        # padding-token scatter writes (row index R)
+        self.scratch_row = max(R, 1)
         self.kv_cache = jnp.zeros(
-            (self.num_layers, 2, self.num_kv_heads, max(R, 1),
+            (self.num_layers, 2, self.num_kv_heads,
+             self.scratch_row + self.block_tokens,
              self.head_size), dtype=self.dtype)
         if sharding is not None:
             import jax
