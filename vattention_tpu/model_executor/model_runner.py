@@ -80,10 +80,11 @@ class ModelRunner:
     def _step(self, params, kv_cache, inputs: StepInputs, n_pre: int):
         kv_cache, logits = self.model.forward(
             params, kv_cache, inputs, self.backend, n_pre)
+        rng, step_rng = jax.random.split(inputs.rng)
         tokens = sample_tokens(logits, inputs.temperatures, inputs.top_p,
-                               inputs.top_k, inputs.rng)
+                               inputs.top_k, step_rng)
         tokens = jnp.where(inputs.sample_idx >= 0, tokens, -1)
-        return kv_cache, tokens
+        return kv_cache, tokens, rng
 
     # ------------------------------------------------------------------ #
     def _prepare_inputs(self, seq_metadata_list: List[SequenceMetadata]):
@@ -157,24 +158,25 @@ class ModelRunner:
             top_p[slot] = sp.top_p
             top_k[slot] = sp.top_k
 
-        self._rng, step_rng = jax.random.split(self._rng)
-        inputs = StepInputs(
-            token_ids=jnp.asarray(token_ids),
-            positions=jnp.asarray(positions),
-            append_rows=jnp.asarray(append_rows),
-            pre_seg_row=jnp.asarray(pre_seg_row),
-            pre_seg_cum=jnp.asarray(pre_seg_cum),
-            pre_qinfo=jnp.asarray(pre_qinfo),
-            dec_seg_row=jnp.asarray(dec_seg_row),
-            dec_seg_cum=jnp.asarray(dec_seg_cum),
-            dec_seqlens=jnp.asarray(dec_seqlens),
-            sample_idx=jnp.asarray(sample_idx),
-            temperatures=jnp.asarray(temperatures),
-            top_p=jnp.asarray(top_p),
-            top_k=jnp.asarray(top_k),
-            rng=step_rng,
+        # one batched host->device transfer for the whole pytree: through
+        # the remote-dispatch tunnel, per-array device_puts cost ~2ms each
+        host_inputs = StepInputs(
+            token_ids=token_ids,
+            positions=positions,
+            append_rows=append_rows,
+            pre_seg_row=pre_seg_row,
+            pre_seg_cum=pre_seg_cum,
+            pre_qinfo=pre_qinfo,
+            dec_seg_row=dec_seg_row,
+            dec_seg_cum=dec_seg_cum,
+            dec_seqlens=dec_seqlens,
+            sample_idx=sample_idx,
+            temperatures=temperatures,
+            top_p=top_p,
+            top_k=top_k,
+            rng=self._rng,  # device-resident; split inside the step
         )
-        return inputs, n_pre
+        return jax.device_put(host_inputs), n_pre
 
     # ------------------------------------------------------------------ #
     def run(self, seq_metadata_list: List[SequenceMetadata]
@@ -182,7 +184,7 @@ class ModelRunner:
         if not seq_metadata_list:
             return []
         inputs, n_pre = self._prepare_inputs(seq_metadata_list)
-        kv_cache, tokens = self._step_fn(
+        kv_cache, tokens, self._rng = self._step_fn(
             self.params, self.cache_engine.kv_cache, inputs, n_pre=n_pre)
         self.cache_engine.kv_cache = kv_cache
         tokens = np.asarray(tokens)

@@ -91,12 +91,20 @@ class LlamaForCausalLM:
         return params
 
     # ------------------------------------------------------------------ #
-    def forward(self, params, kv_cache, inputs: StepInputs, backend,
-                n_prefill_tokens: int):
-        """Returns (kv_cache, logits [B, V_shard])."""
+    # Composable pieces: pipeline parallelism runs embed on the first
+    # stage, a slice of run_layers per stage, and head on the last
+    # (ref models/llama.py:285-292 layer partitioning + :345-358 stage
+    # edge send/recv -- here ppermute between shard_map stages).
+    # ------------------------------------------------------------------ #
+    def embed(self, params, token_ids):
+        return params["embed"][token_ids]  # [T, H]
+
+    def run_layers(self, layer_params, kv_cache, x, inputs: StepInputs,
+                   backend, n_prefill_tokens: int):
+        """Scan a stack of layers; ``kv_cache`` holds exactly the layers
+        in ``layer_params`` (local indexing)."""
         a = self.arch
         D = self.head_dim
-        x = params["embed"][inputs.token_ids]  # [T, H]
         positions = inputs.positions
 
         def layer_fn(carry, scanned):
@@ -126,15 +134,26 @@ class LlamaForCausalLM:
             x = x + mlp
             return (x, kv_cache), None
 
-        lidxs = jnp.arange(a.num_layers, dtype=jnp.int32)[:, None]
+        num_layers = jax.tree.leaves(layer_params)[0].shape[0]
+        lidxs = jnp.arange(num_layers, dtype=jnp.int32)[:, None]
         (x, kv_cache), _ = jax.lax.scan(
-            layer_fn, (x, kv_cache), (params["layers"], lidxs))
+            layer_fn, (x, kv_cache), (layer_params, lidxs))
+        return x, kv_cache
 
+    def head(self, params, x, sample_idx):
+        a = self.arch
         x = rms_norm(x, params["final_norm"], a.rms_norm_eps)
-        safe_idx = jnp.clip(inputs.sample_idx, 0, x.shape[0] - 1)
+        safe_idx = jnp.clip(sample_idx, 0, x.shape[0] - 1)
         hs = x[safe_idx]  # [B, H]
         head = (params["embed"].T if a.tie_word_embeddings
                 else params["lm_head"])
-        logits = (hs.astype(jnp.float32)
-                  @ head.astype(jnp.float32))  # [B, V]
-        return kv_cache, logits
+        return hs.astype(jnp.float32) @ head.astype(jnp.float32)
+
+    def forward(self, params, kv_cache, inputs: StepInputs, backend,
+                n_prefill_tokens: int):
+        """Returns (kv_cache, logits [B, V_shard])."""
+        x = self.embed(params, inputs.token_ids)
+        x, kv_cache = self.run_layers(
+            params["layers"], kv_cache, x, inputs, backend,
+            n_prefill_tokens)
+        return kv_cache, self.head(params, x, inputs.sample_idx)

@@ -1,0 +1,123 @@
+"""In-program pipeline parallelism (GPipe inside one jitted step).
+
+ref: sarathi-lean PipelineParallelLLMEngine + PipelineParallelWorker
+(engine/pipeline_parallel_llm_engine.py:34-198,
+worker/pipeline_parallel_worker.py:26-105): the reference keeps up to
+``num_pipeline_stages`` microbatches in flight with engine threads and
+blocking NCCL send/recv at stage edges (pipeline_parallel/mappings.py:
+12-41).  The TPU-native equivalent compiles the whole rotation into one
+SPMD program: layer stacks are sharded over the "pp" mesh axis, every
+stage runs the same code, and activations move stage-to-stage with
+``ppermute`` -- microbatch m occupies stage s at tick t = m + s, so all
+stages compute concurrently once the pipe fills.
+
+The decode batch is split into ``num_micro`` equal microbatches (decode
+steps dominate serving; a step containing a prefill chunk runs as a
+single microbatch, paying the pipeline bubble the reference also pays on
+prefill-heavy microbatches).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vattention_tpu.model_executor.step_inputs import StepInputs
+
+
+def _tree_index(tree, i):
+    return jax.tree.map(lambda x: x[i], tree)
+
+
+def pipeline_stage_step(model, backend, params, kv_cache_local,
+                        inputs_stacked: StepInputs, *,
+                        n_pre: int, num_micro: int, num_stages: int,
+                        pp_axis: str = "pp"):
+    """Body to run under shard_map over ``pp_axis``.
+
+    params: embed/final_norm/lm_head replicated; params["layers"] is this
+    stage's [Lp, ...] slice.  kv_cache_local: [Lp, 2, Hkv, R, D].
+    inputs_stacked: StepInputs with a leading [M] microbatch axis
+    (replicated).  Returns (kv_cache_local, logits [M, B_mb, V]) where
+    only the LAST stage's logits are meaningful.
+    """
+    s = jax.lax.axis_index(pp_axis)
+    M = num_micro
+    pp = num_stages
+    ex = _tree_index(inputs_stacked, 0)
+    T = ex.token_ids.shape[0]
+    H = model.arch.hidden_size
+    V = (model.arch.vocab_size)
+
+    x_buf = jnp.zeros((T, H), model.dtype)
+    logits_buf = jnp.zeros((M, ex.sample_idx.shape[0], V), jnp.float32)
+    kv_cache = kv_cache_local
+
+    perm = [(i, i + 1) for i in range(pp - 1)]
+
+    for t in range(M + pp - 1):
+        m = t - s  # microbatch this stage works on at tick t
+        valid = jnp.logical_and(m >= 0, m < M)
+        m_c = jnp.clip(m, 0, M - 1)
+        inp = _tree_index(inputs_stacked, m_c)
+        # invalid ticks must not write the cache
+        inp = inp._replace(append_rows=jnp.where(
+            valid, inp.append_rows, -1))
+        x_first = model.embed(params, inp.token_ids)
+        x_in = jnp.where(s == 0, x_first, x_buf)
+        x_out, kv_cache = model.run_layers(
+            params["layers"], kv_cache, x_in, inp, backend, n_pre)
+        # last stage: head + stash logits for this microbatch
+        lg = model.head(params, x_out, inp.sample_idx)
+        write = jnp.logical_and(valid, s == pp - 1)
+        logits_buf = jax.lax.dynamic_update_index_in_dim(
+            logits_buf,
+            jnp.where(write, lg, logits_buf[m_c]), m_c, axis=0)
+        # rotate activations to the next stage (ref blocking send/recv,
+        # pipeline_parallel/mappings.py:12-41 -> compiled ppermute)
+        if pp > 1:
+            x_buf = jax.lax.ppermute(x_out, pp_axis, perm)
+
+    return kv_cache, logits_buf
+
+
+def split_microbatches(inputs: StepInputs, num_micro: int, n_pre: int
+                       ) -> StepInputs:
+    """Stack a decode-only StepInputs into [M, ...] microbatches.
+
+    The B decode slots are split contiguously; slot-indexed arrays keep
+    their position inside their microbatch (kernels see B/M slots).
+    Prefill-region fields are zero-width when n_pre == 0.
+    """
+    assert n_pre == 0, "pipelined steps are decode-only (prefill runs M=1)"
+    B = inputs.dec_seqlens.shape[0]
+    assert B % num_micro == 0, (B, num_micro)
+    Bm = B // num_micro
+
+    def split_slot(x):  # [B, ...] -> [M, Bm, ...]
+        return x.reshape((num_micro, Bm) + x.shape[1:])
+
+    return StepInputs(
+        token_ids=split_slot(inputs.token_ids),
+        positions=split_slot(inputs.positions),
+        append_rows=split_slot(inputs.append_rows),
+        pre_seg_row=jnp.broadcast_to(
+            inputs.pre_seg_row, (num_micro,) + inputs.pre_seg_row.shape),
+        pre_seg_cum=jnp.broadcast_to(
+            inputs.pre_seg_cum, (num_micro,) + inputs.pre_seg_cum.shape),
+        pre_qinfo=jnp.broadcast_to(
+            inputs.pre_qinfo, (num_micro,) + inputs.pre_qinfo.shape),
+        dec_seg_row=split_slot(inputs.dec_seg_row),
+        dec_seg_cum=split_slot(inputs.dec_seg_cum),
+        dec_seqlens=split_slot(inputs.dec_seqlens),
+        sample_idx=split_slot(
+            jnp.where(inputs.sample_idx >= 0,
+                      inputs.sample_idx % max(Bm, 1), -1)),
+        temperatures=split_slot(inputs.temperatures),
+        top_p=split_slot(inputs.top_p),
+        top_k=split_slot(inputs.top_k),
+        rng=jax.random.split(inputs.rng, num_micro),
+    )
