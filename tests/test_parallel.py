@@ -132,3 +132,46 @@ def test_pp_pipeline_matches_single_device():
     np.testing.assert_allclose(np.asarray(kv_pp)[:, :, :, :R],
                                np.asarray(kv_ref)[:, :, :, :R],
                                atol=1e-3, rtol=1e-3)
+
+
+def test_pp_engine_matches_single_engine():
+    """Engine-level: pp=2 / tp=2 produce the exact tokens of 1-device."""
+    from vattention_tpu import LLMEngine, SamplingParams
+    from vattention_tpu.metrics.metrics_store import MetricsStore
+
+    def run(pp, tp=1):
+        MetricsStore._instance = None
+        engine = LLMEngine.from_engine_args(
+            model="tiny-llama-debug", dtype="float32",
+            attention_backend="fa_vattn", scheduler_type="sarathi",
+            max_model_len=1024, max_batch_size=4, max_num_seqs=4,
+            chunk_size=128, gpu_memory_utilization=0.9,
+            pipeline_parallel_size=pp, tensor_parallel_size=tp)
+        rng = np.random.default_rng(3)
+        prompts = {f"r{i}": rng.integers(1, 2000, n).tolist()
+                   for i, n in enumerate([150, 80])}
+        for sid, toks in prompts.items():
+            engine.add_request(
+                prompt=None, prompt_token_ids=toks,
+                sampling_params=__import__(
+                    "vattention_tpu").SamplingParams(
+                    temperature=0.0, max_tokens=6, ignore_eos=True),
+                seq_id=sid)
+        out = {}
+        steps = 0
+        while engine.has_unfinished_requests():
+            for o in engine.step():
+                if o.finished:
+                    out[o.seq_id] = o.token_ids
+            steps += 1
+            assert steps < 300
+        engine.cleanup()
+        return out
+
+    single = run(1)
+    pipelined = run(2)
+    assert single == pipelined, (single, pipelined)
+    tensor = run(1, tp=2)
+    assert single == tensor, (single, tensor)
+    both = run(2, tp=2)
+    assert single == both, (single, both)

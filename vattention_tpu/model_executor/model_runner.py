@@ -36,18 +36,50 @@ logger = init_logger(__name__)
 
 class ModelRunner:
     def __init__(self, config: SystemConfig, cache_engine, *,
-                 tp_axis: Optional[str] = None, seed: int = 0):
+                 mesh=None, seed: int = 0):
         self.config = config
         self.cache_engine = cache_engine
+        self.mesh = mesh
+        pc = config.parallel_config
+        self.tp = pc.tensor_parallel_size
+        self.pp = pc.pipeline_parallel_size
         arch = config.model_config.arch
         dtype = (jnp.bfloat16 if config.model_config.dtype == "bfloat16"
                  else jnp.float32)
         model_cls = get_model_class(arch.model_type)
-        self.model = model_cls(
-            arch, dtype=dtype,
-            tp_size=config.parallel_config.tensor_parallel_size,
-            tp_axis=tp_axis)
-        self.params = load_weights(self.model, config.model_config, seed=seed)
+        tp_axis = "tp" if (mesh is not None and self.tp > 1) else None
+        self.model = model_cls(arch, dtype=dtype, tp_size=self.tp,
+                               tp_axis=tp_axis)
+        if mesh is None:
+            self.params = load_weights(self.model, config.model_config,
+                                       seed=seed)
+        else:
+            # global full-dim params, regrouped for even tp splits, laid
+            # out by XLA according to the Megatron partition specs
+            from jax.sharding import NamedSharding
+
+            from vattention_tpu.parallel.sharding import (
+                llama_param_specs, regroup_gate_up_for_tp,
+                regroup_qkv_for_tp)
+
+            full = model_cls(arch, dtype=dtype, tp_size=1, tp_axis=None)
+            params = load_weights(full, config.model_config, seed=seed)
+            if self.tp > 1:
+                params["layers"]["qkv_w"] = regroup_qkv_for_tp(
+                    params["layers"]["qkv_w"], arch.num_q_heads,
+                    arch.num_kv_heads, arch.head_dim, self.tp)
+                params["layers"]["gate_up_w"] = regroup_gate_up_for_tp(
+                    params["layers"]["gate_up_w"], self.tp)
+            self.param_specs = llama_param_specs(
+                tp_axis="tp" if self.tp > 1 else None,
+                pp_axis="pp" if self.pp > 1 else None,
+                qkv_bias=arch.qkv_bias,
+                tie_word_embeddings=arch.tie_word_embeddings)
+            self.params = jax.device_put(
+                params, jax.tree.map(
+                    lambda s: NamedSharding(mesh, s), self.param_specs,
+                    is_leaf=lambda x: isinstance(
+                        x, jax.sharding.PartitionSpec)))
         self.q_tile = 128
         self.chunk_budget = round_up(
             config.scheduler_config.get_max_num_batched_tokens(
@@ -72,11 +104,60 @@ class ModelRunner:
                 scratch_row=cache_engine.scratch_row,
                 q_tile=self.q_tile)
         self._rng = jax.random.PRNGKey(seed)
-        self._step_fn = functools.partial(
-            jax.jit, static_argnames=("n_pre",),
-            donate_argnums=(1,))(self._step)
+        if mesh is None:
+            self._step_fn = functools.partial(
+                jax.jit, static_argnames=("n_pre",),
+                donate_argnums=(1,))(self._step)
+        else:
+            self._step_fn = functools.partial(
+                jax.jit, static_argnames=("n_pre",),
+                donate_argnums=(1,))(self._step_parallel)
 
     # ------------------------------------------------------------------ #
+    def _step_parallel(self, params, kv_cache, inputs: StepInputs,
+                       n_pre: int):
+        """Sharded serving step: pp pipeline x tp inside shard_map."""
+        from jax.sharding import PartitionSpec as P
+
+        from vattention_tpu.parallel.pipeline import (pipeline_stage_step,
+                                                      split_microbatches)
+        from vattention_tpu.parallel.sharding import kv_cache_spec
+
+        B = inputs.dec_seqlens.shape[0]
+        if n_pre == 0 and self.pp > 1 and B % self.pp == 0:
+            M = self.pp
+            stacked = split_microbatches(inputs, M, 0)
+        else:
+            M = 1
+            stacked = jax.tree.map(lambda x: x[None], inputs)
+        cache_spec = kv_cache_spec(
+            tp_axis="tp" if self.tp > 1 else None,
+            pp_axis="pp" if self.pp > 1 else None)
+
+        def body(params, kv_cache, stacked_inputs):
+            return pipeline_stage_step(
+                self.model, self.backend, params, kv_cache,
+                stacked_inputs, n_pre=n_pre, num_micro=M,
+                num_stages=self.pp, pp_axis="pp")
+
+        sm = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(self.param_specs, cache_spec,
+                      jax.tree.map(lambda _: P(), stacked)),
+            out_specs=(cache_spec, P("pp" if self.pp > 1 else None)),
+            check_vma=False)
+        kv_cache, logits_all = sm(params, kv_cache, stacked)
+        # last stage's logits [M, Bm, V]
+        logits = logits_all[-M:] if self.pp > 1 else logits_all
+        V = logits.shape[-1]
+        logits = logits.reshape(-1, V)[:B] if n_pre == 0 else \
+            logits.reshape(-1, V)
+        rng, step_rng = jax.random.split(inputs.rng)
+        tokens = sample_tokens(logits, inputs.temperatures, inputs.top_p,
+                               inputs.top_k, step_rng)
+        tokens = jnp.where(inputs.sample_idx >= 0, tokens, -1)
+        return kv_cache, tokens, rng
+
     def _step(self, params, kv_cache, inputs: StepInputs, n_pre: int):
         kv_cache, logits = self.model.forward(
             params, kv_cache, inputs, self.backend, n_pre)

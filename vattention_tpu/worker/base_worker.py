@@ -107,9 +107,25 @@ class BaseWorker:
         from vattention_tpu.model_executor.model_runner import ModelRunner
         from vattention_tpu.worker.cache_engine import get_cache_engine
 
-        self.cache_engine = get_cache_engine(self.config)
+        pc = self.config.parallel_config
+        mesh = None
+        sharding = None
+        if pc.tensor_parallel_size > 1 or pc.pipeline_parallel_size > 1:
+            from jax.sharding import NamedSharding
+
+            from vattention_tpu.parallel.mesh import make_serving_mesh
+            from vattention_tpu.parallel.sharding import kv_cache_spec
+
+            mesh = make_serving_mesh(
+                tensor_parallel_size=pc.tensor_parallel_size,
+                pipeline_parallel_size=pc.pipeline_parallel_size)
+            sharding = NamedSharding(mesh, kv_cache_spec(
+                tp_axis="tp" if pc.tensor_parallel_size > 1 else None,
+                pp_axis="pp" if pc.pipeline_parallel_size > 1 else None))
+        self.cache_engine = get_cache_engine(self.config,
+                                             sharding=sharding)
         self.model_runner = ModelRunner(
-            self.config, self.cache_engine, seed=self.seed)
+            self.config, self.cache_engine, mesh=mesh, seed=self.seed)
 
     # ------------------------------------------------------------------ #
     def add_seq(self, seq: Sequence) -> None:

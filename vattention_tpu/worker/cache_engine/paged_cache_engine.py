@@ -56,8 +56,10 @@ class PagedCacheEngine(BaseCacheEngine):
                     self.num_blocks * kv_bytes_per_block / 2**30)
         # extra block of rows: scratch target for padding-token scatters
         self.scratch_row = R
+        total_layers = model_config.get_total_num_layers()
+        total_kv_heads = model_config.arch.num_kv_heads
         self.kv_cache = jnp.zeros(
-            (self.num_layers, 2, self.num_kv_heads, R + self.block_size,
+            (total_layers, 2, total_kv_heads, R + self.block_size,
              self.head_size), dtype=dtype)
         if sharding is not None:
             import jax

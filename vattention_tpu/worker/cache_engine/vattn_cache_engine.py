@@ -77,10 +77,18 @@ class VAttnCacheEngine(BaseCacheEngine):
         # one extra block of rows past the arena: scratch target for
         # padding-token scatter writes (row index R)
         self.scratch_row = max(R, 1)
+        # the device array spans ALL layers; with pipeline parallelism the
+        # sharding splits the layer axis over stages (num_layers above is
+        # per-stage and only feeds the per-device memory math)
+        # ... and ALL kv heads (tp sharding splits the head axis); the
+        # per-shard counts above only feed the per-device memory math
+        total_layers = model_config.get_total_num_layers()
+        total_kv_heads = model_config.arch.num_kv_heads
         self.kv_cache = jnp.zeros(
-            (self.num_layers, 2, self.num_kv_heads,
+            (total_layers, 2, total_kv_heads,
              self.scratch_row + self.block_tokens,
              self.head_size), dtype=self.dtype)
+        self.sharding = sharding
         if sharding is not None:
             import jax
             self.kv_cache = jax.device_put(self.kv_cache, sharding)
@@ -128,9 +136,27 @@ class VAttnCacheEngine(BaseCacheEngine):
         dst = np.zeros(m, np.int32)
         for i, mv in enumerate(plan.moves):
             src[i], dst[i] = mv.src, mv.dst
-        self.kv_cache = apply_relocations(
-            self.kv_cache, jnp.asarray(src), jnp.asarray(dst),
-            jnp.asarray([n], jnp.int32), block_tokens=self.block_tokens)
+        if self.sharding is None:
+            self.kv_cache = apply_relocations(
+                self.kv_cache, jnp.asarray(src), jnp.asarray(dst),
+                jnp.asarray([n], jnp.int32), block_tokens=self.block_tokens)
+        else:
+            # sharded arena: every shard moves the same rows of its own
+            # slice, so the pallas copy runs per-shard under shard_map
+            import jax
+            from jax.sharding import PartitionSpec as P
+
+            mesh, spec = self.sharding.mesh, self.sharding.spec
+            fn = jax.jit(jax.shard_map(
+                lambda c, s_, d_, nm: apply_relocations(
+                    c, s_, d_, nm, block_tokens=self.block_tokens),
+                mesh=mesh,
+                in_specs=(spec, P(), P(), P()),
+                out_specs=spec, check_vma=False),
+                donate_argnums=(0,))
+            self.kv_cache = fn(
+                self.kv_cache, jnp.asarray(src), jnp.asarray(dst),
+                jnp.asarray([n], jnp.int32))
         self.pending_moves += n
 
     # ------------------------------------------------------------------ #
