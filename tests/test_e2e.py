@@ -59,6 +59,7 @@ def dense_reference_generate(model, params, prompt_ids, max_tokens):
     ("fa_vattn", "vllm", 128),             # whole-prompt prefill
     ("fa_vattn_64kb", "sarathi", 128),     # small pages -> multi-extent
     ("fa_paged_128", "sarathi", 128),      # block-table A/B baseline
+    ("fa_pod", "sarathi", 128),            # fused prefill+decode kernel
 ])
 def test_engine_matches_dense_reference(backend, scheduler, chunk):
     engine = LLMEngine.from_engine_args(

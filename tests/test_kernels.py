@@ -169,3 +169,49 @@ def test_append_then_prefill_end_to_end():
                         causal=True, q_start=ctx - chunk)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_pod_fused_matches_separate_kernels():
+    """Fused POD kernel == separate prefill + decode kernels.
+
+    (ref pod_attn/tests pattern: fused vs stock FA for both phases)
+    """
+    from vattention_tpu.ops.pod_fused import (build_pod_schedule,
+                                              pod_fused_attention)
+
+    rng = np.random.default_rng(9)
+    cache = make_cache(rng)
+    # prefill seq: 640 ctx, chunk 128 at q_start 512, extent at row 0
+    kv_len, q_start, Tq = 640, 512, 128
+    qp = jnp.asarray(rng.standard_normal((Tq, HQ, D)), dtype=jnp.float32)
+    pre_row, pre_cum = seg_tables([(0, 1024)])
+    # decode batch of 3 slots (one inactive)
+    B = 3
+    dec_extents = [[(1024, 512)], [(1536, 256)], [(0, 256)]]
+    dec_seqlens = np.array([500, 200, 0], np.int32)
+    qd = jnp.asarray(rng.standard_normal((B, HQ, D)), dtype=jnp.float32)
+    dec_row = np.zeros((B, S), np.int32)
+    dec_cum = np.zeros((B, S + 1), np.int32)
+    for b in range(B):
+        r, c = seg_tables(dec_extents[b])
+        dec_row[b], dec_cum[b] = np.asarray(r), np.asarray(c)
+
+    sched = build_pod_schedule(Tq, 128, 256, kv_len, q_start, dec_seqlens)
+    assert (sched[:, 0] == 1).sum() == 3  # 2 + 1 decode tiles
+    qinfo = jnp.asarray([q_start, kv_len, 1], jnp.int32)
+    op, od = pod_fused_attention(
+        qp, qd, cache, jnp.asarray(sched), pre_row, pre_cum, qinfo,
+        jnp.asarray(dec_row), jnp.asarray(dec_cum),
+        jnp.asarray(dec_seqlens), q_tile=128, kv_tile=256, num_segments=S)
+
+    ref_p = flash_prefill(qp, cache, pre_row, pre_cum, qinfo,
+                          q_tile=128, kv_tile=256, num_segments=S,
+                          max_kv_tiles=4)
+    ref_d = flash_decode(qd, cache, jnp.asarray(dec_row),
+                         jnp.asarray(dec_cum), jnp.asarray(dec_seqlens),
+                         jnp.ones(1, jnp.int32), kv_tile=256,
+                         num_segments=S, max_kv_tiles=4)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ref_p),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(od[:2]), np.asarray(ref_d[:2]),
+                               atol=2e-3, rtol=2e-3)

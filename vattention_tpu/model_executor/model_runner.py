@@ -86,7 +86,23 @@ class ModelRunner:
                 config.model_config.max_model_len), self.q_tile)
         self.B = config.cache_config.max_batch_size
         self.S = cache_engine.table_width
-        if cache_engine.kind == "vattn":
+        from vattention_tpu.model_executor.attention import (
+            AttentionBackend)
+
+        self.is_pod = AttentionBackend.is_pod(
+            config.model_config.attention_backend)
+        if cache_engine.kind == "vattn" and self.is_pod:
+            from vattention_tpu.model_executor.attention.pod_backend \
+                import PodAttentionBackend
+
+            self.backend = PodAttentionBackend(
+                block_tokens=cache_engine.block_tokens,
+                num_segments=self.S,
+                max_context_len=config.model_config.max_model_len,
+                arena_rows=cache_engine.allocator.arena_tokens,
+                q_tile=self.q_tile,
+                scratch_row=cache_engine.scratch_row)
+        elif cache_engine.kind == "vattn":
             self.backend = VattnAttentionBackend(
                 block_tokens=cache_engine.block_tokens,
                 num_segments=self.S,
@@ -239,6 +255,13 @@ class ModelRunner:
             top_p[slot] = sp.top_p
             top_k[slot] = sp.top_k
 
+        pod_sched = None
+        if self.is_pod and prefills and any(dec_seqlens > 0):
+            from vattention_tpu.ops.pod_fused import build_pod_schedule
+
+            pod_sched = build_pod_schedule(
+                n_pre, self.q_tile, self.backend.kv_tile,
+                int(pre_qinfo[1]), int(pre_qinfo[0]), dec_seqlens)
         # one batched host->device transfer for the whole pytree: through
         # the remote-dispatch tunnel, per-array device_puts cost ~2ms each
         host_inputs = StepInputs(
@@ -256,6 +279,7 @@ class ModelRunner:
             top_p=top_p,
             top_k=top_k,
             rng=self._rng,  # device-resident; split inside the step
+            pod_sched=pod_sched,
         )
         return jax.device_put(host_inputs), n_pre
 

@@ -40,3 +40,6 @@ class StepInputs(NamedTuple):
     top_p: jax.Array           # [B] float32
     top_k: jax.Array           # [B] int32
     rng: jax.Array             # PRNG key
+    # POD fused-kernel schedule (host-built tile weave), None unless the
+    # FA_POD backend is active and the step mixes prefill + decode
+    pod_sched: jax.Array = None

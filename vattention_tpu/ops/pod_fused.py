@@ -1,0 +1,306 @@
+"""POD-Attention: fused prefill+decode in one Pallas kernel launch.
+
+ref: pod_attn/ (FA-2.6.1 fork, ~9.9k LoC).  The reference fuses both
+phases into one CUDA kernel so prefill (compute-bound) and decode
+(memory-bound) CTAs share every SM, balanced at runtime by an SM-aware
+scheduler (`compute_fused_tb_attn`, fused_fwd_kernel.h:1412-1510, atomics
+on a tbAssign scratch; host heuristics fused_api.cpp:357-375).
+
+TPU re-design: a TPU core executes grid steps sequentially but the Pallas
+pipeline double-buffers each step's DMAs against the previous step's
+compute.  Fusing both phases into ONE grid and *interleaving* decode
+tiles between prefill tiles therefore hides decode's KV fetches (pure
+HBM traffic) under prefill's MXU work -- the same overlap POD gets from
+SM sharing.  The interleave order is a host-built schedule array handed
+to the kernel via scalar prefetch (the tbAssign analog):
+
+  sched[t] = (phase, idx, kt, cur_b, cur_qt, flags)
+
+    phase: 0 = prefill tile, 1 = decode tile
+    idx:   qt (prefill) or batch slot b (decode)
+    kt:    kv tile index within the phase's stream
+    cur_b / cur_qt: the most recent decode slot / prefill q-tile at or
+        before t (keeps the un-touched operand's BlockSpec index constant
+        so its DMA is elided and its output block stays resident)
+    flags: bit0 = first kv tile of this (phase, idx) stream
+
+Per-slot decode softmax state lives in [B]-indexed VMEM scratch so the
+two streams can interleave at single-tile granularity; the prefill
+stream keeps one (m, l, acc) set because its tiles run in (qt, kt)
+row-major order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, interpret_mode,
+                                      seg_row_lookup)
+
+
+def build_pod_schedule(
+    n_prefill_tokens: int, q_tile: int, kv_tile: int,
+    kv_len: int, q_start: int,
+    dec_seqlens: np.ndarray,
+    *, ratio_hint: int | None = None,
+) -> np.ndarray:
+    """Host-side tile scheduler (ref fused_api.cpp:357-375 heuristics).
+
+    Emits prefill tiles in (qt, kt) order with decode tiles woven in at a
+    ratio that spreads the decode stream evenly across the prefill
+    stream (runtime analog of the SM ratio balancing; `ratio_hint`
+    overrides, mirroring fused_params 9 vs 11).
+    """
+    n_qt = cdiv(max(n_prefill_tokens, 1), q_tile)
+    pre_tiles = []
+    for qt in range(n_qt):
+        q_last = q_start + (qt + 1) * q_tile - 1
+        n_kt = min(cdiv(kv_len, kv_tile), q_last // kv_tile + 1)
+        for kt in range(max(n_kt, 1)):
+            pre_tiles.append((qt, kt, kt == 0))
+    dec_tiles = []
+    for b, sl in enumerate(dec_seqlens):
+        for kt in range(cdiv(int(sl), kv_tile)):
+            dec_tiles.append((b, kt, kt == 0))
+
+    np_, nd = len(pre_tiles), len(dec_tiles)
+    n = np_ + nd
+    # pad to a pow2 bucket with no-op entries (phase 2) so the schedule
+    # length -- a static kernel dimension -- does not recompile per step
+    padded = 1
+    while padded < max(n, 1):
+        padded *= 2
+    sched = np.zeros((padded, 6), np.int32)
+    cur_b, cur_qt = 0, 0
+    pi = di = 0
+    for t in range(n):
+        # even weave: emit a decode tile whenever its stream falls behind
+        # the target ratio (ref SM ratio balancing); ratio_hint biases
+        # toward more decode slots per prefill tile (fused_params 9 / 11)
+        if ratio_hint is not None:
+            behind = di * ratio_hint < pi
+        else:
+            behind = di * max(np_, 1) <= pi * max(nd, 1)
+        take_decode = (di < nd) and (pi >= np_ or behind)
+        if take_decode:
+            b, kt, first = dec_tiles[di]
+            di += 1
+            cur_b = b
+            sched[t] = (1, b, kt, cur_b, cur_qt, int(first))
+        else:
+            qt, kt, first = pre_tiles[pi]
+            pi += 1
+            cur_qt = qt
+            sched[t] = (0, qt, kt, cur_b, cur_qt, int(first))
+    for t in range(n, padded):
+        sched[t] = (2, 0, 0, cur_b, cur_qt, 0)
+    return sched
+
+
+def _pod_kernel(
+    # scalar prefetch
+    sched_ref, pre_seg_row_ref, pre_seg_cum_ref, qinfo_ref,
+    dec_seg_row_ref, dec_seg_cum_ref, dec_seqlens_ref,
+    # blocks
+    qp_ref, qd_ref, k_ref, v_ref, op_ref, od_ref,
+    # scratch
+    pm_ref, pl_ref, pacc_ref, dm_ref, dl_ref, dacc_ref,
+    *, q_tile: int, kv_tile: int, num_segments: int, sm_scale: float,
+):
+    t = pl.program_id(0)
+    phase = sched_ref[t, 0]
+    idx = sched_ref[t, 1]
+    kt = sched_ref[t, 2]
+    first = sched_ref[t, 5]
+
+    q_start = qinfo_ref[0]
+    kv_len = qinfo_ref[1]
+
+    @pl.when(phase == 0)
+    def _prefill():
+        Hkv, G, _, D = qp_ref.shape
+
+        @pl.when(first == 1)
+        def _init():
+            pm_ref[...] = jnp.full_like(pm_ref, -jnp.inf)
+            pl_ref[...] = jnp.zeros_like(pl_ref)
+            pacc_ref[...] = jnp.zeros_like(pacc_ref)
+
+        q = qp_ref[...].reshape(Hkv, G * q_tile, D)
+        k = k_ref[...]
+        s = jax.lax.dot_general(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * sm_scale
+        row = jax.lax.broadcasted_iota(jnp.int32, (G * q_tile, kv_tile), 0)
+        q_pos = q_start + idx * q_tile + row % q_tile
+        kv_pos = (kt * kv_tile + jax.lax.broadcasted_iota(
+            jnp.int32, (G * q_tile, kv_tile), 1))
+        mask = jnp.logical_and(q_pos >= kv_pos, kv_pos < kv_len)
+        s = jnp.where(mask[None], s, MASK_VALUE)
+        m_prev = pm_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m_prev - m_new)
+        pl_ref[...] = pl_ref[...] * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(
+            p, v_ref[...].astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        pacc_ref[...] = pacc_ref[...] * alpha[..., None] + pv
+        pm_ref[...] = m_new
+
+        # flush this q tile's output on its last kv tile
+        n_kv = jnp.maximum(1, pl.cdiv(kv_len, kv_tile))
+        q_last = q_start + (idx + 1) * q_tile - 1
+        last_kt = jnp.minimum(q_last // kv_tile, n_kv - 1)
+
+        @pl.when(kt == last_kt)
+        def _finish():
+            l = pl_ref[...]
+            l = jnp.where(l == 0.0, 1.0, l)
+            o = pacc_ref[...] / l[..., None]
+            op_ref[...] = o.reshape(Hkv, G, q_tile, D).astype(op_ref.dtype)
+
+    @pl.when(phase == 1)
+    def _decode():
+        Hq, D = qd_ref.shape
+        Hkv = k_ref.shape[0]
+        G = Hq // Hkv
+        b = idx
+
+        @pl.when(first == 1)
+        def _init():
+            dm_ref[b] = jnp.full_like(dm_ref[b], -jnp.inf)
+            dl_ref[b] = jnp.zeros_like(dl_ref[b])
+            dacc_ref[b] = jnp.zeros_like(dacc_ref[b])
+
+        q = qd_ref[...].reshape(Hkv, G, D)
+        k = k_ref[...]
+        s = jax.lax.dot_general(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * sm_scale
+        kv_len_b = dec_seqlens_ref[b]
+        kv_pos = kt * kv_tile + jax.lax.broadcasted_iota(
+            jnp.int32, (G, kv_tile), 1)
+        s = jnp.where((kv_pos < kv_len_b)[None], s, MASK_VALUE)
+        m_prev = dm_ref[b]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        alpha = jnp.exp(m_prev - m_new)
+        dl_ref[b] = dl_ref[b] * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(
+            p, v_ref[...].astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dacc_ref[b] = dacc_ref[b] * alpha[..., None] + pv
+        dm_ref[b] = m_new
+
+        n_tiles = pl.cdiv(kv_len_b, kv_tile)
+
+        @pl.when(kt == n_tiles - 1)
+        def _finish():
+            l = dl_ref[b]
+            l = jnp.where(l == 0.0, 1.0, l)
+            o = dacc_ref[b] / l[..., None]
+            od_ref[...] = o.reshape(Hq, D).astype(od_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("q_tile", "kv_tile", "num_segments", "sm_scale",
+                     "n_sched"))
+def pod_fused_attention(
+    q_prefill: jax.Array,    # [Tq, Hq, D]
+    q_decode: jax.Array,     # [B, Hq, D]
+    kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
+    sched: jax.Array,        # [n_sched, 6] int32 (host-built schedule)
+    pre_seg_row: jax.Array,  # [S]
+    pre_seg_cum: jax.Array,  # [S+1]
+    qinfo: jax.Array,        # [3] (q_start, kv_len, layer)
+    dec_seg_row: jax.Array,  # [B, S]
+    dec_seg_cum: jax.Array,  # [B, S+1]
+    dec_seqlens: jax.Array,  # [B]
+    *,
+    q_tile: int = 128,
+    kv_tile: int = 256,
+    num_segments: int = 8,
+    sm_scale: float | None = None,
+    n_sched: int | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (prefill_out [Tq, Hq, D], decode_out [B, Hq, D])."""
+    Tq, Hq, D = q_prefill.shape
+    B = q_decode.shape[0]
+    L, _, Hkv, R, _ = kv_cache.shape
+    G = Hq // Hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    n_sched = n_sched or sched.shape[0]
+    qp_hm = q_prefill.reshape(Tq, Hkv, G, D).transpose(1, 2, 0, 3)
+
+    def qp_index(t, sched_ref, *_):
+        return (0, 0, sched_ref[t, 4], 0)
+
+    def qd_index(t, sched_ref, *_):
+        return (sched_ref[t, 3], 0, 0)
+
+    def kv_index(t, sched_ref, psr, psc, qinfo_ref, dsr, dsc, dsl, kv01):
+        layer = qinfo_ref[2]
+        phase = sched_ref[t, 0]
+        idx = sched_ref[t, 1]
+        kt = sched_ref[t, 2]
+        pos = kt * kv_tile
+        row_pre = seg_row_lookup(pos, psr, psc, num_segments)
+        row_dec = seg_row_lookup(pos, dsr, dsc, num_segments,
+                                 prefix=(idx,))
+        row = jnp.where(phase == 0, row_pre, row_dec)
+        return (layer, kv01, 0, row // kv_tile, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(n_sched,),
+        in_specs=[
+            pl.BlockSpec((Hkv, G, q_tile, D), qp_index),
+            pl.BlockSpec((None, Hq, D), qd_index),
+            pl.BlockSpec((None, None, Hkv, kv_tile, D),
+                         functools.partial(kv_index, kv01=0)),
+            pl.BlockSpec((None, None, Hkv, kv_tile, D),
+                         functools.partial(kv_index, kv01=1)),
+        ],
+        out_specs=(
+            pl.BlockSpec((Hkv, G, q_tile, D),
+                         lambda t, sched_ref, *_: (0, 0, sched_ref[t, 4], 0)),
+            pl.BlockSpec((None, Hq, D),
+                         lambda t, sched_ref, *_: (sched_ref[t, 3], 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, G * q_tile), jnp.float32),      # pm
+            pltpu.VMEM((Hkv, G * q_tile), jnp.float32),      # pl
+            pltpu.VMEM((Hkv, G * q_tile, D), jnp.float32),   # pacc
+            pltpu.VMEM((B, Hkv, G), jnp.float32),            # dm
+            pltpu.VMEM((B, Hkv, G), jnp.float32),            # dl
+            pltpu.VMEM((B, Hkv, G, D), jnp.float32),         # dacc
+        ],
+    )
+    kernel = functools.partial(
+        _pod_kernel, q_tile=q_tile, kv_tile=kv_tile,
+        num_segments=num_segments, sm_scale=sm_scale)
+    op, od = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((Hkv, G, Tq, D), q_prefill.dtype),
+            jax.ShapeDtypeStruct((B, Hq, D), q_decode.dtype),
+        ),
+        interpret=interpret_mode(),
+    )(sched, pre_seg_row, pre_seg_cum, qinfo, dec_seg_row, dec_seg_cum,
+      dec_seqlens, qp_hm, q_decode, kv_cache, kv_cache)
+    return op.transpose(2, 0, 1, 3).reshape(Tq, Hq, D), od
