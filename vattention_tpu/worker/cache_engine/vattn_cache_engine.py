@@ -37,6 +37,11 @@ class VAttnCacheEngine(BaseCacheEngine):
         if dtype is None:
             dtype = (jnp.float32 if model_config.dtype == "float32"
                      else jnp.bfloat16)
+        # FP8 KV quantization: e4m3 storage, calibration-free (e4m3's
+        # dynamic range covers K/V activations; kernels upcast tiles to
+        # f32 before the matmul).  Halves KV HBM footprint + bandwidth.
+        if config.cache_config.kv_quant == "fp8":
+            dtype = jnp.float8_e4m3fn
         cache_config = config.cache_config
         parallel_config = config.parallel_config
 
@@ -55,8 +60,8 @@ class VAttnCacheEngine(BaseCacheEngine):
             head_size=self.head_size,
             max_batch_size=self.max_batch_size,
             max_context_length=model_config.max_model_len,
-            dtype_bytes=np.dtype(
-                "float32" if dtype == jnp.float32 else "bfloat16").itemsize,
+            dtype_bytes=(1 if dtype == jnp.float8_e4m3fn
+                         else 4 if dtype == jnp.float32 else 2),
             page_size=cache_config.page_size,
             megacache=AttentionBackend.is_megacache(backend)
             or cache_config.megacache,
