@@ -303,3 +303,85 @@ def test_relocation_plan_preserves_data(max_segments):
             a.free_batch_idx(sid)
             del active[sid]
             mirror.contents.pop(sid, None)
+
+
+def test_native_allocator_parity():
+    """C++ allocator behaves like the Python reference implementation
+    on a random dynamic workload (geometry, accounting, data integrity
+    of its relocation plans)."""
+    from vattention_tpu.memory.native import (NativeVAttentionAllocator,
+                                              native_available)
+
+    if not native_available():
+        pytest.skip("native allocator not built (make -C csrc)")
+
+    nat = NativeVAttentionAllocator()
+    nat.init_kvcache(num_layers=4, num_kv_heads=2, head_size=128,
+                     max_batch_size=8, max_context_length=4096,
+                     dtype_bytes=2, page_size=64 * KB)
+    nat.reserve_physical_pages(8 * MB)
+    ref = make_alloc(max_bs=8, mem_mb=8, max_ctx=4096)
+    assert nat.block_tokens == ref.block_tokens
+    assert nat.num_arena_blocks == ref.num_arena_blocks
+
+    rng = np.random.default_rng(7)
+    mirror = ArenaMirror2(nat)
+    active = {}
+    for it in range(400):
+        if len(active) < 7 and rng.random() < 0.5:
+            prompt = int(rng.integers(10, 1500))
+            if nat.tokens_to_blocks(prompt) < nat.num_free_kvblocks():
+                sid = nat.alloc_new_batch_idx(prompt)
+                rid = ref.alloc_new_batch_idx(prompt)
+                assert sid == rid
+                if sid >= 0:
+                    active[sid] = int(rng.integers(4, 80))
+                    mirror.contents.pop(sid, None)
+        while nat.num_free_kvblocks() < len(active) and len(active) > 1:
+            victim = list(active)[-1]
+            nat.free_batch_idx(victim)
+            ref.free_batch_idx(victim)
+            del active[victim]
+            mirror.contents.pop(victim, None)
+        seq_lens = nat.seq_lens
+        for sid in list(active):
+            seq_lens[sid] += 1
+            active[sid] -= 1
+        plan = nat.step_async(seq_lens.copy())
+        ref.step_async(seq_lens.copy())
+        # free-block accounting stays consistent with the reference impl
+        assert abs(nat.num_free_kvblocks()
+                   - ref.num_free_kvblocks()) <= 4
+        mirror.apply(plan)
+        for sid in active:
+            mirror.write_new_blocks(sid)
+        mirror.check()
+        for sid in [s for s, d in active.items() if d <= 0]:
+            nat.free_batch_idx(sid)
+            ref.free_batch_idx(sid)
+            del active[sid]
+
+
+class ArenaMirror2:
+    """ArenaMirror for the native allocator (segment tables via API)."""
+
+    def __init__(self, a):
+        self.a = a
+        self.data = np.full(a.num_arena_blocks, -1, dtype=np.int64)
+        self.contents = {}
+
+    def _rows(self, sid):
+        seg_row, seg_tok = self.a.get_batch_segments()
+        rows = []
+        bt = self.a.block_tokens
+        for j in range(self.a.max_segments):
+            if seg_tok[sid, j] == 0:
+                continue
+            start = seg_row[sid, j] // bt
+            n = seg_tok[sid, j] // bt
+            rows.extend(range(start, start + n))
+        return rows
+
+    apply = ArenaMirror.apply
+    write_new_blocks = ArenaMirror.write_new_blocks
+    check = ArenaMirror.check

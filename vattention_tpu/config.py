@@ -240,6 +240,9 @@ class CacheConfig:
     megacache: bool = False
     # FP8/INT8 KV quantization ("none" | "fp8" | "int8")
     kv_quant: str = "none"
+    # use the native C++ allocator when built (make -C csrc); the C++
+    # side is a process singleton, so keep it off for multi-engine tests
+    use_native_allocator: bool = False
 
 
 @dataclass

@@ -27,6 +27,7 @@ class EngineArgs:
     gpu_memory_utilization: float = 0.9
     max_batch_size: int = 64
     kv_quant: str = "none"
+    use_native_allocator: bool = False
     # parallel
     pipeline_parallel_size: int = 1
     tensor_parallel_size: int = 1
@@ -61,7 +62,8 @@ class EngineArgs:
         cache_config = CacheConfig(
             block_size=block_size, page_size=page_size,
             memory_utilization=self.gpu_memory_utilization,
-            max_batch_size=self.max_batch_size, kv_quant=self.kv_quant)
+            max_batch_size=self.max_batch_size, kv_quant=self.kv_quant,
+            use_native_allocator=self.use_native_allocator)
         parallel_config = ParallelConfig(
             pipeline_parallel_size=self.pipeline_parallel_size,
             tensor_parallel_size=self.tensor_parallel_size)

@@ -53,7 +53,20 @@ class VAttnCacheEngine(BaseCacheEngine):
         backend = AttentionBackend.resolve(model_config.attention_backend)
         self.sync_mode = AttentionBackend.is_sync(backend)
 
-        self.allocator = VAttentionAllocator()
+        use_native = cache_config.use_native_allocator
+        if use_native:
+            from vattention_tpu.memory.native import (
+                NativeVAttentionAllocator, native_available)
+
+            if native_available():
+                self.allocator = NativeVAttentionAllocator()
+            else:
+                logger.warning(
+                    "native allocator requested but not built "
+                    "(make -C csrc); using the Python implementation")
+                self.allocator = VAttentionAllocator()
+        else:
+            self.allocator = VAttentionAllocator()
         self.allocator.init_kvcache(
             num_layers=self.num_layers,
             num_kv_heads=self.num_kv_heads,
