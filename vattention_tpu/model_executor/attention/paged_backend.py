@@ -8,7 +8,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from vattention_tpu.model_executor.step_inputs import StepInputs
-from vattention_tpu.ops.cache_append import cache_append_scatter
+from vattention_tpu.ops.cache_append import (cache_append_dus,
+                                             cache_append_scatter)
 from vattention_tpu.ops.paged_attention import (paged_flash_decode,
                                                 paged_flash_prefill)
 from vattention_tpu.ops.utils import cdiv
@@ -22,9 +23,21 @@ class PagedAttentionBackend:
         self.block_size = block_size
         self.max_kv_tiles = cdiv(max_context_len, block_size)
 
-    def append_kv(self, kv_cache, k, v, inputs: StepInputs, layer_idx):
-        return cache_append_scatter(kv_cache, k, v, inputs.append_rows,
-                            layer_idx, self.scratch_row)
+    def append_kv(self, kv_cache, k, v, inputs: StepInputs, layer_idx,
+                  n_prefill_tokens: int = 0):
+        """layer_idx: [1] int32 array.  Prefill-region rows go through
+        one scatter (contiguous, amortized by the chunk's compute);
+        decode rows use per-token DUS (fast in-place lowering)."""
+        rows = inputs.append_rows
+        if n_prefill_tokens > 0:
+            kv_cache = cache_append_scatter(
+                kv_cache, k[:n_prefill_tokens], v[:n_prefill_tokens],
+                rows[:n_prefill_tokens], layer_idx, self.scratch_row)
+        if k.shape[0] > n_prefill_tokens:
+            kv_cache = cache_append_dus(
+                kv_cache, k[n_prefill_tokens:], v[n_prefill_tokens:],
+                rows[n_prefill_tokens:], layer_idx, self.scratch_row)
+        return kv_cache
 
     def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,
                n_prefill_tokens: int, *, sm_scale: float):

@@ -13,7 +13,8 @@ from typing import Optional
 import jax.numpy as jnp
 
 from vattention_tpu.model_executor.step_inputs import StepInputs
-from vattention_tpu.ops.cache_append import cache_append_scatter
+from vattention_tpu.ops.cache_append import (cache_append_dus,
+                                             cache_append_scatter)
 from vattention_tpu.ops.flash_decode import flash_decode
 from vattention_tpu.ops.flash_prefill import flash_prefill
 from vattention_tpu.ops.utils import cdiv, select_kv_tile
@@ -36,10 +37,21 @@ class VattnAttentionBackend:
         self.max_kv_tiles = cdiv(min(max_context_len, arena_rows),
                                  self.kv_tile)
 
-    def append_kv(self, kv_cache, k, v, inputs: StepInputs, layer_idx):
-        """layer_idx: [1] int32 array."""
-        return cache_append_scatter(kv_cache, k, v, inputs.append_rows,
-                            layer_idx, self.scratch_row)
+    def append_kv(self, kv_cache, k, v, inputs: StepInputs, layer_idx,
+                  n_prefill_tokens: int = 0):
+        """layer_idx: [1] int32 array.  Prefill-region rows go through
+        one scatter (contiguous, amortized by the chunk's compute);
+        decode rows use per-token DUS (fast in-place lowering)."""
+        rows = inputs.append_rows
+        if n_prefill_tokens > 0:
+            kv_cache = cache_append_scatter(
+                kv_cache, k[:n_prefill_tokens], v[:n_prefill_tokens],
+                rows[:n_prefill_tokens], layer_idx, self.scratch_row)
+        if k.shape[0] > n_prefill_tokens:
+            kv_cache = cache_append_dus(
+                kv_cache, k[n_prefill_tokens:], v[n_prefill_tokens:],
+                rows[n_prefill_tokens:], layer_idx, self.scratch_row)
+        return kv_cache
 
     def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,
                n_prefill_tokens: int, *, sm_scale: float):

@@ -120,7 +120,8 @@ class LlamaForCausalLM:
                 T, self.hkv, D)
             v = qkv[:, (self.hq + self.hkv) * D:].reshape(T, self.hkv, D)
             q, k = self.rope(positions, q, k)
-            kv_cache = backend.append_kv(kv_cache, k, v, inputs, lidx)
+            kv_cache = backend.append_kv(kv_cache, k, v, inputs, lidx,
+                                         n_prefill_tokens)
             attn = backend.attend(q, kv_cache, inputs, lidx,
                                   n_prefill_tokens, sm_scale=self.sm_scale)
             o = attn.reshape(T, self.hq * D) @ lp["o_w"]

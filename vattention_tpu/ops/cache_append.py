@@ -104,6 +104,34 @@ def cache_append_scatter(kv_cache, k_new, v_new, rows, layer_idx,
     return kv_cache
 
 
+def cache_append_dus(kv_cache, k_new, v_new, rows, layer_idx,
+                     scratch_row):
+    """Decode-region append via per-token dynamic_update_slice.
+
+    XLA lowers DUS on a donated carry to true in-place row writes (and,
+    unlike the scatter formulation, compiles quickly and runs at memory
+    speed).  T is small and static (the decode batch), so the scanned
+    per-token loop stays tiny.  Padding tokens land on ``scratch_row``.
+    """
+    l = layer_idx[0]
+    T = k_new.shape[0]
+    k_hm = k_new.astype(kv_cache.dtype)
+    v_hm = v_new.astype(kv_cache.dtype)
+
+    def body(c, i):
+        row = jnp.where(rows[i] >= 0, rows[i], scratch_row)
+        # k_hm[i]: [Hkv, D] -> update block [1, 1, Hkv, 1, D]
+        ku = k_hm[i][None, None, :, None, :]
+        vu = v_hm[i][None, None, :, None, :]
+        c = jax.lax.dynamic_update_slice(c, ku, (l, 0, 0, row, 0))
+        c = jax.lax.dynamic_update_slice(c, vu, (l, 1, 0, row, 0))
+        return c, 0
+
+    kv_cache, _ = jax.lax.scan(body, kv_cache,
+                               jnp.arange(T, dtype=jnp.int32))
+    return kv_cache
+
+
 def cache_append_jnp(kv_cache, k_new, v_new, rows, layer):
     """XLA-scatter fallback/reference (used to validate the kernel)."""
     safe_rows = jnp.where(rows >= 0, rows, 0)
