@@ -17,6 +17,11 @@ Usage: python bench.py [--quick] [--model yi-6b-200k] [--batch 32]
        [--ctx 2048] [--steps 30]
 """
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/jax_comp_cache")
+os.environ.setdefault(
+    "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 import argparse
 import json
 import sys

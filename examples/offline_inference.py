@@ -6,6 +6,11 @@ so it works in zero-egress environments; pass --model <local-hf-dir> for
 a real checkpoint.
 """
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/jax_comp_cache")
+os.environ.setdefault(
+    "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 import argparse
 import time
 

@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from vattention_tpu.ops.attention_ref import decode_reference, mha_reference
-from vattention_tpu.ops.cache_append import cache_append, cache_append_jnp
+from vattention_tpu.ops.cache_append import cache_append_jnp
 from vattention_tpu.ops.arena_copy import apply_relocations
 from vattention_tpu.ops.flash_decode import flash_decode
 from vattention_tpu.ops.flash_prefill import flash_prefill
@@ -115,19 +115,44 @@ def test_flash_decode_matches_reference():
     assert np.isfinite(np.asarray(out[3])).all()
 
 
-def test_cache_append_matches_scatter():
+def test_cache_append_tokens_matches_scatter():
+    from vattention_tpu.ops.cache_append import cache_append_tokens
+
     rng = np.random.default_rng(2)
     cache = make_cache(rng)
     T = 16
     k_new = jnp.asarray(rng.standard_normal((T, HKV, D)), dtype=jnp.float32)
     v_new = jnp.asarray(rng.standard_normal((T, HKV, D)), dtype=jnp.float32)
     rows = np.full(T, -1, np.int32)
-    rows[:8] = np.arange(100, 108)      # prefill run
-    rows[8:12] = [700, 300, 1500, 42]   # scattered decodes
+    rows[:8] = np.arange(100, 108)
+    rows[8:12] = [700, 300, 1500, 42]
     rows = jnp.asarray(rows)
     expect = cache_append_jnp(cache, k_new, v_new, rows, 1)
-    got = cache_append(cache.copy(), k_new, v_new, rows,
-                       jnp.ones(1, jnp.int32))
+    got = cache_append_tokens(cache.copy(), k_new, v_new, rows,
+                              jnp.ones(1, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+
+def test_cache_append_run_matches_scatter():
+    from vattention_tpu.ops.cache_append import WINDOW, cache_append_run
+
+    rng = np.random.default_rng(12)
+    cache = make_cache(rng)
+    chunk = 100
+    k_new = jnp.asarray(rng.standard_normal((chunk, HKV, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((chunk, HKV, D)), jnp.float32)
+    # two extent runs with unaligned boundaries: rows 37..96, 512..551
+    rows = np.concatenate([np.arange(37, 97), np.arange(512, 552)])
+    rows = rows.astype(np.int32)
+    expect = cache_append_jnp(cache, k_new, v_new, jnp.asarray(rows), 0)
+    runinfo = np.zeros((8, 3), np.int32)
+    runinfo[0] = (37, 0, 60)
+    runinfo[1] = (512, 60, 40)
+    pad = jnp.zeros((WINDOW, HKV, D), jnp.float32)
+    got = cache_append_run(
+        cache.copy(), jnp.concatenate([pad, k_new, pad]),
+        jnp.concatenate([pad, v_new, pad]), jnp.asarray(runinfo),
+        jnp.zeros(1, jnp.int32), max_windows=chunk // WINDOW + 2)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
 
 

@@ -8,8 +8,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from vattention_tpu.model_executor.step_inputs import StepInputs
-from vattention_tpu.ops.cache_append import (cache_append_dus,
-                                             cache_append_scatter)
+from vattention_tpu.ops.cache_append import (WINDOW,
+                                             cache_append_run,
+                                             cache_append_tokens)
 from vattention_tpu.ops.paged_attention import (paged_flash_decode,
                                                 paged_flash_prefill)
 from vattention_tpu.ops.utils import cdiv
@@ -25,18 +26,27 @@ class PagedAttentionBackend:
 
     def append_kv(self, kv_cache, k, v, inputs: StepInputs, layer_idx,
                   n_prefill_tokens: int = 0):
-        """layer_idx: [1] int32 array.  Prefill-region rows go through
-        one scatter (contiguous, amortized by the chunk's compute);
-        decode rows use per-token DUS (fast in-place lowering)."""
+        """layer_idx: [1] int32 array.
+
+        All cache writes go through Pallas RMW kernels so the arena sees
+        exactly one XLA layout (scatter/DUS formulations make layout
+        assignment relayout-copy the whole arena around the attention
+        custom calls).  Prefill chunks append as contiguous extent runs;
+        decode rows append per token.
+        """
         rows = inputs.append_rows
         if n_prefill_tokens > 0:
-            kv_cache = cache_append_scatter(
-                kv_cache, k[:n_prefill_tokens], v[:n_prefill_tokens],
-                rows[:n_prefill_tokens], layer_idx, self.scratch_row)
+            pad = jnp.zeros((WINDOW,) + k.shape[1:], k.dtype)
+            kp = jnp.concatenate([pad, k[:n_prefill_tokens], pad], axis=0)
+            vp = jnp.concatenate([pad, v[:n_prefill_tokens], pad], axis=0)
+            max_windows = n_prefill_tokens // WINDOW + 2
+            kv_cache = cache_append_run(
+                kv_cache, kp, vp, inputs.pre_runs,
+                layer_idx.astype(jnp.int32), max_windows=max_windows)
         if k.shape[0] > n_prefill_tokens:
-            kv_cache = cache_append_dus(
+            kv_cache = cache_append_tokens(
                 kv_cache, k[n_prefill_tokens:], v[n_prefill_tokens:],
-                rows[n_prefill_tokens:], layer_idx, self.scratch_row)
+                rows[n_prefill_tokens:], layer_idx.astype(jnp.int32))
         return kv_cache
 
     def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,

@@ -255,6 +255,16 @@ class ModelRunner:
             top_p[slot] = sp.top_p
             top_k[slot] = sp.top_k
 
+        pre_runs = np.zeros((S, 3), np.int32)
+        if prefills:
+            # decompose the chunk's arena rows into contiguous runs
+            r = append_rows[:chunk]
+            breaks = np.nonzero(np.diff(r) != 1)[0] + 1
+            starts = np.concatenate([[0], breaks])
+            ends = np.concatenate([breaks, [chunk]])
+            assert len(starts) <= S, "chunk crosses more extents than S"
+            for j, (a, b) in enumerate(zip(starts, ends)):
+                pre_runs[j] = (r[a], a, b - a)
         pod_sched = None
         if self.is_pod and prefills and any(dec_seqlens > 0):
             from vattention_tpu.ops.pod_fused import build_pod_schedule
@@ -280,6 +290,7 @@ class ModelRunner:
             top_k=top_k,
             rng=self._rng,  # device-resident; split inside the step
             pod_sched=pod_sched,
+            pre_runs=pre_runs if prefills else None,
         )
         return jax.device_put(host_inputs), n_pre
 

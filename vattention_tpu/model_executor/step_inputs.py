@@ -43,3 +43,6 @@ class StepInputs(NamedTuple):
     # POD fused-kernel schedule (host-built tile weave), None unless the
     # FA_POD backend is active and the step mixes prefill + decode
     pod_sched: jax.Array = None
+    # prefill chunk as contiguous arena runs [S, 3] (dst_row0, src_tok0,
+    # n) for the run-append kernel; None on decode-only steps
+    pre_runs: jax.Array = None

@@ -25,34 +25,52 @@ from jax.experimental.pallas import tpu as pltpu
 from vattention_tpu.ops.utils import interpret_mode
 
 
-def _append_kernel(rows_ref, linfo_ref, k_ref, v_ref, cache_ref, out_ref,
-                   sem, *, tokens_per_step: int):
+WINDOW = 32  # aligned row window (covers f32/bf16/fp8 sublane tiles)
+
+
+def _rmw_token_kernel(rows_ref, linfo_ref, k_ref, v_ref, cache_ref,
+                      out_ref, kbuf, vbuf, sem, *, rows_total: int):
+    """Per-token append via aligned-window read-modify-write.
+
+    Mosaic rejects size-1 sublane DMA slices, and letting XLA scatter/DUS
+    into the cache makes layout assignment pick a scatter-friendly tiling
+    and relayout-copy the whole arena around every pallas call (observed:
+    220ms/step on a 2GB arena).  Touching the cache ONLY through pallas
+    keeps one layout; each token RMWs its aligned 32-row window (~4KB
+    per token of extra traffic -- noise).
+    """
+    del cache_ref  # aliased with out_ref
+    t = pl.program_id(0)
     layer = linfo_ref[0]
-    # cache_ref is aliased with out_ref (same HBM buffer on TPU); all
-    # access goes through out_ref so interpret mode also sees the writes.
-    del cache_ref
+    row = rows_ref[t]
 
-    def body(t, _):
-        row = rows_ref[t]
-
-        @pl.when(row >= 0)
-        def _():
-            kcp = pltpu.make_async_copy(
-                k_ref.at[t], out_ref.at[layer, 0, :, row], sem)
-            vcp = pltpu.make_async_copy(
-                v_ref.at[t], out_ref.at[layer, 1, :, row], sem)
-            kcp.start()
-            vcp.start()
-            kcp.wait()
-            vcp.wait()
-
-        return 0
-
-    jax.lax.fori_loop(0, tokens_per_step, body, 0)
+    @pl.when(row >= 0)
+    def _():
+        base = jnp.minimum((row // WINDOW) * WINDOW,
+                           jnp.maximum(rows_total - WINDOW, 0))
+        off = row - base
+        kin = pltpu.make_async_copy(
+            out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :], kbuf, sem)
+        kin.start()
+        vin = pltpu.make_async_copy(
+            out_ref.at[layer, 1, :, pl.ds(base, WINDOW), :], vbuf, sem)
+        vin.start()
+        kin.wait()
+        vin.wait()
+        kbuf[:, pl.ds(off, 1), :] = k_ref[t][:, None, :].astype(kbuf.dtype)
+        vbuf[:, pl.ds(off, 1), :] = v_ref[t][:, None, :].astype(vbuf.dtype)
+        kout = pltpu.make_async_copy(
+            kbuf, out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :], sem)
+        kout.start()
+        vout = pltpu.make_async_copy(
+            vbuf, out_ref.at[layer, 1, :, pl.ds(base, WINDOW), :], sem)
+        vout.start()
+        kout.wait()
+        vout.wait()
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def cache_append(
+def cache_append_tokens(
     kv_cache: jax.Array,   # [L, 2, Hkv, R, D] (donated, updated in place)
     k_new: jax.Array,      # [T, Hkv, D]
     v_new: jax.Array,      # [T, Hkv, D]
@@ -60,48 +78,123 @@ def cache_append(
     linfo: jax.Array,      # [1] int32: (layer,)
 ) -> jax.Array:
     T, Hkv, D = k_new.shape
+    R = kv_cache.shape[3]
     return pl.pallas_call(
-        functools.partial(_append_kernel, tokens_per_step=T),
+        functools.partial(_rmw_token_kernel, rows_total=R),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(),
+            grid=(T,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA],
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, WINDOW, D), kv_cache.dtype),
+                pltpu.VMEM((Hkv, WINDOW, D), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
-        input_output_aliases={4: 0},  # kv_cache -> out (after 2 scalar args)
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret_mode(),
     )(rows, linfo, k_new, v_new, kv_cache)
 
 
-def cache_append_scatter(kv_cache, k_new, v_new, rows, layer_idx,
-                         scratch_row):
-    """XLA-scatter append (TPU default).
+def _rmw_run_kernel(runinfo_ref, linfo_ref, k_ref, v_ref, cache_ref,
+                    out_ref, kbuf, vbuf, sem, *, rows_total: int):
+    """Contiguous-run append: every 32-row window overlapping a run is
+    RMW'd, with covered rows replaced from the (32-padded) staged K/V.
 
-    Mosaic cannot DMA a single arena row in the head-major layout (size-1
-    slice on the sublane dim violates tiling), so the production append
-    path lowers to XLA scatter on the donated cache buffer; XLA performs
-    it in place.  Invalid (padding) tokens are routed to ``scratch_row``
-    -- a sacrificial row past the arena the cache engines reserve -- so
-    no read-blend is needed.  ``layer_idx``: [1] int32 array.  An
-    aligned-tile RMW Pallas kernel is the planned optimization if scatter
-    shows up in profiles.
+    runinfo: [S, 3] = (dst_row0, src_tok0, n_tokens) per extent run of
+    the prefill chunk; ``k_ref`` is padded with WINDOW rows at BOTH ends
+    so shifted window slices stay in bounds (mask handles the edges).
     """
-    l = layer_idx[0]
-    safe_rows = jnp.where(rows >= 0, rows, scratch_row)
-    k_hm = k_new.transpose(1, 0, 2).astype(kv_cache.dtype)  # [Hkv, T, D]
-    v_hm = v_new.transpose(1, 0, 2).astype(kv_cache.dtype)
-    kv_cache = kv_cache.at[l, 0, :, safe_rows].set(
-        k_hm.transpose(1, 0, 2), unique_indices=False)
-    kv_cache = kv_cache.at[l, 1, :, safe_rows].set(
-        v_hm.transpose(1, 0, 2), unique_indices=False)
-    return kv_cache
+    del cache_ref
+    s = pl.program_id(0)
+    w = pl.program_id(1)
+    dst0 = runinfo_ref[s, 0]
+    src0 = runinfo_ref[s, 1]
+    n = runinfo_ref[s, 2]
+    layer = linfo_ref[0]
+    base0 = (dst0 // WINDOW) * WINDOW
+    base = base0 + w * WINDOW
+    base = jnp.minimum(base, jnp.maximum(rows_total - WINDOW, 0))
+    a = jnp.maximum(dst0, base)
+    b = jnp.minimum(dst0 + n, base + WINDOW)
+
+    @pl.when(a < b)
+    def _():
+        kin = pltpu.make_async_copy(
+            out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :], kbuf, sem)
+        kin.start()
+        vin = pltpu.make_async_copy(
+            out_ref.at[layer, 1, :, pl.ds(base, WINDOW), :], vbuf, sem)
+        vin.start()
+        # staged rows for this window: token index of window row i is
+        # (base + i) - dst0 + src0; +WINDOW for the padding offset
+        start = base - dst0 + src0 + WINDOW
+        kin.wait()
+        vin.wait()
+        knew = k_ref[pl.ds(start, WINDOW)]  # [WINDOW, Hkv, D]
+        vnew = v_ref[pl.ds(start, WINDOW)]
+        ridx = base + jax.lax.broadcasted_iota(
+            jnp.int32, (WINDOW, 1, 1), 0)
+        mask = jnp.logical_and(ridx >= a, ridx < b)
+        kblend = jnp.where(mask, knew.astype(kbuf.dtype),
+                           jnp.transpose(kbuf[...], (1, 0, 2)))
+        vblend = jnp.where(mask, vnew.astype(vbuf.dtype),
+                           jnp.transpose(vbuf[...], (1, 0, 2)))
+        kbuf[...] = jnp.transpose(kblend, (1, 0, 2))
+        vbuf[...] = jnp.transpose(vblend, (1, 0, 2))
+        kout = pltpu.make_async_copy(
+            kbuf, out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :], sem)
+        kout.start()
+        vout = pltpu.make_async_copy(
+            vbuf, out_ref.at[layer, 1, :, pl.ds(base, WINDOW), :], sem)
+        vout.start()
+        kout.wait()
+        vout.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("max_windows",),
+                   donate_argnums=(0,))
+def cache_append_run(
+    kv_cache: jax.Array,   # [L, 2, Hkv, R, D] (donated)
+    k_padded: jax.Array,   # [WINDOW + T + WINDOW, Hkv, D] (pad both ends)
+    v_padded: jax.Array,
+    runinfo: jax.Array,    # [S, 3] int32 (dst_row0, src_tok0, n) per run
+    linfo: jax.Array,      # [1] int32 (layer,)
+    *,
+    max_windows: int,
+) -> jax.Array:
+    _, Hkv, D = k_padded.shape
+    R = kv_cache.shape[3]
+    S = runinfo.shape[0]
+    return pl.pallas_call(
+        functools.partial(_rmw_run_kernel, rows_total=R),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(S, max_windows),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, WINDOW, D), kv_cache.dtype),
+                pltpu.VMEM((Hkv, WINDOW, D), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret_mode(),
+    )(runinfo, linfo, k_padded, v_padded, kv_cache)
 
 
 def cache_append_dus(kv_cache, k_new, v_new, rows, layer_idx,
