@@ -240,3 +240,57 @@ def test_pod_fused_matches_separate_kernels():
                                atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(od[:2]), np.asarray(ref_d[:2]),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_sliding_window_attention():
+    """Window-masked kernels vs explicitly masked jnp reference."""
+    rng = np.random.default_rng(21)
+    cache = make_cache(rng)
+    window = 300
+    # prefill continuation with window
+    kv_len, q_start = 640, 512
+    Tq = 128
+    q = jnp.asarray(rng.standard_normal((Tq, HQ, D)), dtype=jnp.float32)
+    seg_row, seg_cum = seg_tables([(0, 1024)])
+    qinfo = jnp.asarray([q_start, kv_len, 0], jnp.int32)
+    out = flash_prefill(q, cache, seg_row, seg_cum, qinfo, q_tile=128,
+                        kv_tile=256, num_segments=S, max_kv_tiles=4,
+                        window=window)
+    k, v = gather_kv(cache, 0, [(0, 1024)], kv_len)
+
+    def ref_windowed(q, k, v, q_start, window):
+        Tq = q.shape[0]
+        Tk = k.shape[0]
+        G = HQ // HKV
+        qf = q.astype(jnp.float32).reshape(Tq, HKV, G, D)
+        scores = jnp.einsum("qhgd,khd->hgqk", qf,
+                            k.astype(jnp.float32)) / (D ** 0.5)
+        q_pos = q_start + jnp.arange(Tq)[:, None]
+        k_pos = jnp.arange(Tk)[None, :]
+        mask = (q_pos >= k_pos) & (k_pos > q_pos - window)
+        scores = jnp.where(mask[None, None], scores, -jnp.inf)
+        p = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("hgqk,khd->qhgd", p, v.astype(jnp.float32))
+        return o.reshape(Tq, HQ, D)
+
+    ref = ref_windowed(q, k, v, q_start, window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+    # decode with window
+    B = 2
+    qd = jnp.asarray(rng.standard_normal((B, HQ, D)), dtype=jnp.float32)
+    seqlens = jnp.asarray([500, 120], jnp.int32)
+    seg_row_b = jnp.tile(np.asarray(seg_row)[None], (B, 1))
+    seg_cum_b = jnp.tile(np.asarray(seg_cum)[None], (B, 1))
+    outd = flash_decode(qd, cache, seg_row_b, seg_cum_b, seqlens,
+                        jnp.zeros(1, jnp.int32), kv_tile=256,
+                        num_segments=S, max_kv_tiles=4, window=window)
+    for b in range(B):
+        n = int(seqlens[b])
+        lo = max(0, n - window)
+        kb, vb = k[lo:n], v[lo:n]
+        ref_b = mha_reference(qd[b:b+1], kb, vb, causal=False)
+        np.testing.assert_allclose(np.asarray(outd[b:b+1]),
+                                   np.asarray(ref_b),
+                                   atol=2e-3, rtol=2e-3)

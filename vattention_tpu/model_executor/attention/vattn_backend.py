@@ -27,7 +27,9 @@ class VattnAttentionBackend:
     def __init__(self, *, block_tokens: int, num_segments: int,
                  max_context_len: int, arena_rows: int,
                  q_tile: int = 128, kv_tile: Optional[int] = None,
-                 scratch_row: Optional[int] = None):
+                 scratch_row: Optional[int] = None,
+                 sliding_window: Optional[int] = None):
+        self.sliding_window = sliding_window
         self.scratch_row = (arena_rows if scratch_row is None
                             else scratch_row)
         self.q_tile = q_tile
@@ -75,12 +77,14 @@ class VattnAttentionBackend:
                 inputs.pre_seg_row, inputs.pre_seg_cum, qinfo,
                 q_tile=self.q_tile, kv_tile=self.kv_tile,
                 num_segments=self.num_segments, sm_scale=sm_scale,
-                max_kv_tiles=self.max_kv_tiles))
+                max_kv_tiles=self.max_kv_tiles,
+                window=self.sliding_window))
         if q.shape[0] > n_prefill_tokens:
             outs.append(flash_decode(
                 q[n_prefill_tokens:], kv_cache,
                 inputs.dec_seg_row, inputs.dec_seg_cum, inputs.dec_seqlens,
                 layer_idx.astype(jnp.int32),
                 kv_tile=self.kv_tile, num_segments=self.num_segments,
-                sm_scale=sm_scale, max_kv_tiles=self.max_kv_tiles))
+                sm_scale=sm_scale, max_kv_tiles=self.max_kv_tiles,
+                window=self.sliding_window))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

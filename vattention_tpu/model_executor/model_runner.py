@@ -101,7 +101,8 @@ class ModelRunner:
                 max_context_len=config.model_config.max_model_len,
                 arena_rows=cache_engine.allocator.arena_tokens,
                 q_tile=self.q_tile,
-                scratch_row=cache_engine.scratch_row)
+                scratch_row=cache_engine.scratch_row,
+                sliding_window=arch.sliding_window)
         elif cache_engine.kind == "vattn":
             self.backend = VattnAttentionBackend(
                 block_tokens=cache_engine.block_tokens,
@@ -109,7 +110,8 @@ class ModelRunner:
                 max_context_len=config.model_config.max_model_len,
                 arena_rows=cache_engine.allocator.arena_tokens,
                 q_tile=self.q_tile,
-                scratch_row=cache_engine.scratch_row)
+                scratch_row=cache_engine.scratch_row,
+                sliding_window=arch.sliding_window)
         else:
             from vattention_tpu.model_executor.attention.paged_backend \
                 import PagedAttentionBackend

@@ -57,8 +57,14 @@ def _rmw_token_kernel(rows_ref, linfo_ref, k_ref, v_ref, cache_ref,
         vin.start()
         kin.wait()
         vin.wait()
-        kbuf[:, pl.ds(off, 1), :] = k_ref[t][:, None, :].astype(kbuf.dtype)
-        vbuf[:, pl.ds(off, 1), :] = v_ref[t][:, None, :].astype(vbuf.dtype)
+        # masked whole-window select (dynamic single-sublane stores need
+        # alignment proofs Mosaic cannot make)
+        sel = jax.lax.broadcasted_iota(
+            jnp.int32, (1, WINDOW, 1), 1) == off
+        kbuf[...] = jnp.where(sel, k_ref[t][:, None, :].astype(kbuf.dtype),
+                              kbuf[...])
+        vbuf[...] = jnp.where(sel, v_ref[t][:, None, :].astype(vbuf.dtype),
+                              vbuf[...])
         kout = pltpu.make_async_copy(
             kbuf, out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :], sem)
         kout.start()

@@ -35,6 +35,7 @@ def _decode_kernel(
     # scratch
     m_ref, l_ref, acc_ref,
     *, kv_tile: int, num_segments: int, sm_scale: float,
+    window: int | None = None,
 ):
     b = pl.program_id(0)
     kt = pl.program_id(1)
@@ -62,7 +63,10 @@ def _decode_kernel(
         s = s * sm_scale
         kv_pos = kt * kv_tile + jax.lax.broadcasted_iota(
             jnp.int32, (G, kv_tile), 1)
-        s = jnp.where((kv_pos < kv_len)[None], s, MASK_VALUE)
+        valid = kv_pos < kv_len
+        if window is not None:
+            valid = jnp.logical_and(valid, kv_pos >= kv_len - window)
+        s = jnp.where(valid[None], s, MASK_VALUE)
 
         m_prev = m_ref[...]  # [Hkv, G]
         m_cur = jnp.max(s, axis=-1)
@@ -89,7 +93,7 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("kv_tile", "num_segments", "sm_scale",
-                     "max_kv_tiles"))
+                     "max_kv_tiles", "window"))
 def flash_decode(
     q: jax.Array,            # [B, Hq, D]
     kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
@@ -102,6 +106,7 @@ def flash_decode(
     num_segments: int = 8,
     sm_scale: float | None = None,
     max_kv_tiles: int | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     B, Hq, D = q.shape
     L, _, Hkv, R, _ = kv_cache.shape
@@ -139,7 +144,7 @@ def flash_decode(
     )
     kernel = functools.partial(
         _decode_kernel, kv_tile=kv_tile, num_segments=num_segments,
-        sm_scale=sm_scale)
+        sm_scale=sm_scale, window=window)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -38,6 +38,7 @@ def _prefill_kernel(
     # scratch
     m_ref, l_ref, acc_ref,
     *, q_tile: int, kv_tile: int, num_segments: int, sm_scale: float,
+    window: int | None = None,
 ):
     qt = pl.program_id(0)
     kt = pl.program_id(1)
@@ -73,6 +74,8 @@ def _prefill_kernel(
                   + jax.lax.broadcasted_iota(jnp.int32,
                                              (G * q_tile, kv_tile), 1))
         mask = jnp.logical_and(q_pos >= kv_pos, kv_pos < kv_len)
+        if window is not None:
+            mask = jnp.logical_and(mask, kv_pos > q_pos - window)
         s = jnp.where(mask[None], s, MASK_VALUE)
 
         m_prev = m_ref[...]  # [Hkv, G*q_tile]
@@ -101,7 +104,7 @@ def _prefill_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("q_tile", "kv_tile", "num_segments",
-                     "sm_scale", "max_kv_tiles"))
+                     "sm_scale", "max_kv_tiles", "window"))
 def flash_prefill(
     q: jax.Array,            # [Tq, Hq, D], Tq % q_tile == 0
     kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
@@ -114,6 +117,7 @@ def flash_prefill(
     num_segments: int = 8,
     sm_scale: float | None = None,
     max_kv_tiles: int | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     Tq, Hq, D = q.shape
     L, _, Hkv, R, _ = kv_cache.shape
@@ -158,7 +162,7 @@ def flash_prefill(
     )
     kernel = functools.partial(
         _prefill_kernel, q_tile=q_tile, kv_tile=kv_tile,
-        num_segments=num_segments, sm_scale=sm_scale)
+        num_segments=num_segments, sm_scale=sm_scale, window=window)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
