@@ -37,11 +37,11 @@ def main():
     p.add_argument("--quick", action="store_true",
                    help="tiny CPU smoke run (sanity only)")
     p.add_argument("--model", default="yi-6b-200k")
-    p.add_argument("--backend", default="fa_vattn_2mb")
-    p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--ctx", type=int, default=2048)
-    p.add_argument("--decode-steps", type=int, default=30)
-    p.add_argument("--max-model-len", type=int, default=4096)
+    p.add_argument("--backend", default="fa_vattn_256kb")
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--ctx", type=int, default=1024)
+    p.add_argument("--decode-steps", type=int, default=20)
+    p.add_argument("--max-model-len", type=int, default=2048)
     args = p.parse_args()
 
     if args.quick:

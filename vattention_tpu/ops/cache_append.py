@@ -48,6 +48,7 @@ def _rmw_token_kernel(rows_ref, linfo_ref, k_ref, v_ref, cache_ref,
     def _():
         base = jnp.minimum((row // WINDOW) * WINDOW,
                            jnp.maximum(rows_total - WINDOW, 0))
+        base = pl.multiple_of(base, WINDOW)
         off = row - base
         kin = pltpu.make_async_copy(
             out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :], kbuf, sem)
@@ -128,6 +129,7 @@ def _rmw_run_kernel(runinfo_ref, linfo_ref, k_ref, v_ref, cache_ref,
     base0 = (dst0 // WINDOW) * WINDOW
     base = base0 + w * WINDOW
     base = jnp.minimum(base, jnp.maximum(rows_total - WINDOW, 0))
+    base = pl.multiple_of(base, WINDOW)
     a = jnp.maximum(dst0, base)
     b = jnp.minimum(dst0 + n, base + WINDOW)
 
