@@ -366,3 +366,10 @@ class SystemConfig:
     scheduler_config: BaseSchedulerConfig = field(
         default_factory=SarathiSchedulerConfig)
     metrics_config: MetricsConfig = field(default_factory=MetricsConfig)
+    # async execution: dispatch steps without blocking on sampled tokens
+    # (device-side token feedback + lagged host materialization).  The
+    # TPU-first replacement for the reference's background-thread overlap
+    # (vattention.cu:549-558): here the latency to hide is the host<->
+    # device round trip, which dominates behind a network tunnel.
+    enable_async_execution: bool = True
+    max_inflight_steps: int = 2

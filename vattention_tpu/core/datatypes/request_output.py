@@ -34,7 +34,9 @@ class RequestOutput:
             seq.prompt,
             seq.prompt_token_ids,
             seq.output_text,
-            seq.get_output_token_ids(),
+            # async execution: expose only host-materialized values (the
+            # tail may still hold in-flight placeholders)
+            list(seq.get_resolved_output_token_ids()),
             seq.is_finished(),
             SequenceStatus.get_finished_reason(seq.get_status()),
         )

@@ -36,6 +36,12 @@ class Sequence:
         self.output_token_ids: List[int] = []
         self.prompt_tokens_processed = 0
         self.prompt_processing_finished = False
+        # async-execution state: sampled-on-device tokens not yet
+        # materialized host-side are PENDING_TOKEN_ID placeholders at the
+        # tail of output_token_ids; `generation` invalidates in-flight
+        # results across preemption restarts / value-stop truncations
+        self.num_pending_tokens = 0
+        self.generation = 0
 
         self.output_text = ""
         # incremental detokenization state
@@ -82,6 +88,52 @@ class Sequence:
         self.output_token_ids.append(token_id)
         self.state.on_token_generated()
 
+    # -- async execution (one-step-lagged host materialization) ---------- #
+    PENDING_TOKEN_ID = -1
+
+    def append_pending_token(self) -> None:
+        """Length bookkeeping for a token sampled on device whose value has
+        not reached the host yet (async execution).  The value arrives via
+        ``resolve_pending_token``; lengths/positions are exact meanwhile."""
+        assert self.prompt_processing_finished
+        self.output_token_ids.append(self.PENDING_TOKEN_ID)
+        self.num_pending_tokens += 1
+        self.state.on_token_generated()
+
+    def resolve_pending_token(self, token_id: int) -> int:
+        """Patch the oldest pending placeholder; returns its output index."""
+        assert self.num_pending_tokens > 0
+        idx = len(self.output_token_ids) - self.num_pending_tokens
+        self.output_token_ids[idx] = token_id
+        self.num_pending_tokens -= 1
+        return idx
+
+    def drop_pending_tokens(self) -> None:
+        if self.num_pending_tokens:
+            del self.output_token_ids[-self.num_pending_tokens:]
+            self.num_pending_tokens = 0
+        self.generation += 1
+
+    def get_resolved_output_token_ids(self) -> List[int]:
+        if self.num_pending_tokens:
+            return self.output_token_ids[:-self.num_pending_tokens]
+        return self.output_token_ids
+
+    def check_length_stop(self) -> None:
+        """Length-based stop only — decidable at dispatch time, before the
+        sampled values reach the host (async execution)."""
+        if self.get_output_len() >= self.sampling_params.max_tokens:
+            self.set_status(SequenceStatus.FINISHED_LENGTH_CAPPED)
+
+    def truncate_and_finish(self, output_idx: int,
+                            status: SequenceStatus) -> None:
+        """Value-dependent stop landed at `output_idx`: drop speculative
+        tokens sampled after it and invalidate their in-flight results."""
+        del self.output_token_ids[output_idx + 1:]
+        self.num_pending_tokens = 0
+        self.generation += 1
+        self.set_status(status)
+
     def get_len(self) -> int:
         return len(self.output_token_ids) + len(self.prompt_token_ids)
 
@@ -117,6 +169,7 @@ class Sequence:
 
     def reset_for_recompute(self) -> None:
         """Preemption restart (ref sequence.py:158)."""
+        self.drop_pending_tokens()  # in-flight values can't be recovered
         self.set_status(SequenceStatus.WAITING)
         self.prompt_tokens_processed = 0
         self.prompt_processing_finished = False

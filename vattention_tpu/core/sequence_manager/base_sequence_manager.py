@@ -92,6 +92,41 @@ class BaseSequenceManager:
             if meta.seq_id in sampler_map and seq.prompt_processing_finished:
                 self._process_seq_output(seq, sampler_map[meta.seq_id])
 
+    # -- async execution: host bookkeeping split around the device step -- #
+    def on_step_dispatched(self, scheduler_outputs: SchedulerOutputs) -> None:
+        """Length bookkeeping at dispatch time, before sampled values reach
+        the host: prompt progress, pause transitions, pending-token
+        placeholders, and length-based stops (all value-independent)."""
+        for meta in scheduler_outputs.scheduled_seq_metadata_list:
+            seq = self.seq_map[meta.seq_id]
+            if not seq.is_running():
+                continue
+            if meta.is_prompt:
+                seq.update_prompt_tokens_processed(meta.prompt_chunk_len)
+            self._pause_seq(meta.seq_id)
+            if seq.prompt_processing_finished:
+                seq.append_pending_token()
+                seq.check_length_stop()
+
+    def _on_token_resolved(self, seq: Sequence, output_idx: int) -> None:
+        """Value-dependent stop checks once the token value lands.  The
+        engine subclass extends this with incremental detokenization."""
+        token_id = seq.output_token_ids[output_idx]
+        sp = seq.sampling_params
+        if not sp.ignore_eos and token_id == seq.eos_token_id:
+            seq.truncate_and_finish(output_idx,
+                                    SequenceStatus.FINISHED_STOPPED)
+
+    def on_step_resolved(self, sampler_outputs: SamplerOutputs) -> None:
+        """Patch device-sampled values into their placeholders (in dispatch
+        order) and run the value-dependent stop checks."""
+        for sample in sampler_outputs:
+            seq = self.seq_map.get(sample.seq_id)
+            if seq is None or seq.num_pending_tokens == 0:
+                continue  # freed or invalidated since dispatch
+            idx = seq.resolve_pending_token(sample.output_token)
+            self._on_token_resolved(seq, idx)
+
     def generate_request_outputs(
         self, ignored_seqs: List[Sequence],
         seq_metadata_list: List[SequenceMetadata],

@@ -45,6 +45,9 @@ class EngineArgs:
     write_metrics: bool = False
     output_dir: str = "benchmark_output"
     enable_chrome_trace: bool = False
+    # execution
+    enable_async_execution: bool = True
+    max_inflight_steps: int = 2
 
     def create_engine_configs(self) -> SystemConfig:
         model_config = ModelConfig(
@@ -101,7 +104,9 @@ class EngineArgs:
             model_config=model_config, cache_config=cache_config,
             parallel_config=parallel_config,
             scheduler_config=scheduler_config,
-            metrics_config=metrics_config)
+            metrics_config=metrics_config,
+            enable_async_execution=self.enable_async_execution,
+            max_inflight_steps=self.max_inflight_steps)
 
     @classmethod
     def field_names(cls):

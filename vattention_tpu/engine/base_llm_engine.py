@@ -60,6 +60,13 @@ class BaseLLMEngine:
             config.cache_config)
         self.scheduler.set_block_manager(config.model_config)
         self.new_seqs: List[Sequence] = []
+        # async execution: host bookkeeping lags the device by <=
+        # max_inflight_steps; the decode critical path never blocks on a
+        # device->host round trip (the PP engine has its own pipelining)
+        self.async_execution = (
+            config.enable_async_execution
+            and config.parallel_config.pipeline_parallel_size == 1)
+        self.max_inflight_steps = config.max_inflight_steps
 
     # ------------------------------------------------------------------ #
     def add_request(
@@ -91,14 +98,19 @@ class BaseLLMEngine:
         self.metrics_store.on_request_arrival(seq)
 
     def has_unfinished_requests(self) -> bool:
-        return self.scheduler.has_unfinished_seqs()
+        return (self.scheduler.has_unfinished_seqs()
+                or self.worker.has_inflight_steps())
 
     def get_num_unfinished_requests(self) -> int:
         return self.scheduler.get_num_unfinished_seqs()
 
     # ------------------------------------------------------------------ #
     def step(self) -> List[RequestOutput]:
-        """One serving iteration (ref :373-415)."""
+        """One serving iteration (ref :373-415).
+
+        Async mode returns the outputs of older steps as their sampled
+        tokens land (bounded lag); sync mode returns this step's outputs.
+        """
         # memory feedback loop (ref :381-390)
         if hasattr(self.scheduler.block_manager, "set_free_blocks"):
             self.scheduler.block_manager.set_free_blocks(
@@ -106,20 +118,70 @@ class BaseLLMEngine:
 
         scheduler_outputs = self.scheduler.schedule()
         if scheduler_outputs.has_no_output():
+            if self.worker.has_inflight_steps():
+                return self._process_resolved(self.worker.flush_inflight())
             return []
         if scheduler_outputs.is_empty():
             self.scheduler.num_running_batches = max(
                 0, self.scheduler.num_running_batches)
+            if self.worker.has_inflight_steps():
+                return self._process_resolved(self.worker.flush_inflight())
             return self._on_step_completed(scheduler_outputs, [], [], [])
 
+        if not self.async_execution:
+            ignored_seqs, seq_metadata_list = self.seq_manager.on_schedule(
+                scheduler_outputs)
+            self.metrics_store.on_batch_start()
+            sampler_outputs = self.worker.execute_model(
+                scheduler_outputs, seq_metadata_list)
+            return self._on_step_completed(
+                scheduler_outputs, ignored_seqs, seq_metadata_list,
+                sampler_outputs)
+
+        # -- async path -------------------------------------------------- #
+        outputs: List[RequestOutput] = []
+        # preemption resets fold generated tokens into the prompt; resolve
+        # any in-flight values first so none are lost
+        if (scheduler_outputs.preempted_seq_ids
+                and self.worker.has_inflight_steps()):
+            outputs += self._process_resolved(self.worker.flush_inflight())
         ignored_seqs, seq_metadata_list = self.seq_manager.on_schedule(
             scheduler_outputs)
         self.metrics_store.on_batch_start()
-        sampler_outputs = self.worker.execute_model(
-            scheduler_outputs, seq_metadata_list)
-        return self._on_step_completed(
-            scheduler_outputs, ignored_seqs, seq_metadata_list,
-            sampler_outputs)
+        resolved = self.worker.execute_model_async(
+            scheduler_outputs, seq_metadata_list,
+            max_inflight=self.max_inflight_steps)
+        # value-independent bookkeeping happens at dispatch: prompt
+        # progress, pause transitions, pending placeholders, length stops
+        self.seq_manager.on_step_dispatched(scheduler_outputs)
+        self.scheduler.on_step_completed()
+        if ignored_seqs:
+            outputs += self.seq_manager.generate_request_outputs(
+                ignored_seqs, [])
+        outputs += self._process_resolved(resolved)
+        return outputs
+
+    def _process_resolved(self, resolved) -> List[RequestOutput]:
+        """Apply materialized sampler outputs of previously dispatched
+        steps: patch token values, run value-dependent stop checks, free
+        finished sequences, and emit their RequestOutputs."""
+        outputs: List[RequestOutput] = []
+        for scheduler_outputs, seq_metadata_list, sampler_outputs in resolved:
+            self.seq_manager.on_step_resolved(sampler_outputs)
+            self.worker.on_step_completed(seq_metadata_list)
+            # value-dependent stops (EOS/stop-strings) finish sequences
+            # between scheduler ticks; retire them from the running queue
+            self.scheduler.free_finished_seqs()
+            self.scheduler.remove_finished_seqs()
+            for meta in seq_metadata_list:
+                seq = meta.seq
+                if seq.is_finished() and not getattr(
+                        seq, "_metrics_ended", False):
+                    seq._metrics_ended = True
+                    self.metrics_store.on_request_end(seq)
+            outputs += self.seq_manager.generate_request_outputs(
+                [], seq_metadata_list)
+        return outputs
 
     def _on_step_completed(self, scheduler_outputs: SchedulerOutputs,
                            ignored_seqs, seq_metadata_list,
@@ -130,8 +192,11 @@ class BaseLLMEngine:
         self.worker.on_step_completed(seq_metadata_list)
         self.scheduler.on_step_completed()
         for meta in seq_metadata_list:
-            if meta.seq.is_finished():
-                self.metrics_store.on_request_end(meta.seq)
+            seq = meta.seq
+            if seq.is_finished() and not getattr(seq, "_metrics_ended",
+                                                 False):
+                seq._metrics_ended = True
+                self.metrics_store.on_request_end(seq)
         return self.seq_manager.generate_request_outputs(
             ignored_seqs, seq_metadata_list)
 

@@ -34,6 +34,24 @@ from vattention_tpu.ops.utils import round_up
 logger = init_logger(__name__)
 
 
+class StepHandle:
+    """A dispatched-but-unmaterialized serving step (async execution)."""
+
+    __slots__ = ("seq_metadata_list", "sampled", "tokens")
+
+    def __init__(self, seq_metadata_list, sampled, tokens):
+        self.seq_metadata_list = seq_metadata_list
+        # [(seq, slot, generation-at-dispatch)] for every sampled token
+        self.sampled = sampled
+        self.tokens = tokens  # device array [B]
+
+    def is_ready(self) -> bool:
+        try:
+            return self.tokens.is_ready()
+        except Exception:  # noqa: BLE001
+            return True
+
+
 class ModelRunner:
     def __init__(self, config: SystemConfig, cache_engine, *,
                  mesh=None, seed: int = 0):
@@ -122,19 +140,29 @@ class ModelRunner:
                 scratch_row=cache_engine.scratch_row,
                 q_tile=self.q_tile)
         self._rng = jax.random.PRNGKey(seed)
+        # persistent device buffer of each slot's latest sampled token --
+        # the on-device feedback path that lets the next decode step start
+        # without waiting for sampled values to reach the host
+        self._tok_buf = jnp.full(self.B, -1, jnp.int32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._tok_buf = jax.device_put(
+                self._tok_buf, NamedSharding(mesh, PartitionSpec()))
         if mesh is None:
             self._step_fn = functools.partial(
                 jax.jit, static_argnames=("n_pre",),
-                donate_argnums=(1,))(self._step)
+                donate_argnums=(1, 2))(self._step)
         else:
             self._step_fn = functools.partial(
                 jax.jit, static_argnames=("n_pre",),
-                donate_argnums=(1,))(self._step_parallel)
+                donate_argnums=(1, 2))(self._step_parallel)
 
     # ------------------------------------------------------------------ #
-    def _step_parallel(self, params, kv_cache, inputs: StepInputs,
+    def _step_parallel(self, params, kv_cache, tok_buf, inputs: StepInputs,
                        n_pre: int):
         """Sharded serving step: pp pipeline x tp inside shard_map."""
+        inputs = self._splice_prev_tokens(inputs, tok_buf, n_pre)
         from jax.sharding import PartitionSpec as P
 
         from vattention_tpu.parallel.pipeline import (pipeline_stage_step,
@@ -174,16 +202,31 @@ class ModelRunner:
         tokens = sample_tokens(logits, inputs.temperatures, inputs.top_p,
                                inputs.top_k, step_rng)
         tokens = jnp.where(inputs.sample_idx >= 0, tokens, -1)
-        return kv_cache, tokens, rng
+        tok_buf = jnp.where(tokens >= 0, tokens, tok_buf)
+        return kv_cache, tok_buf, tokens, rng
 
-    def _step(self, params, kv_cache, inputs: StepInputs, n_pre: int):
+    def _splice_prev_tokens(self, inputs: StepInputs, tok_buf, n_pre: int):
+        """Decode slots flagged use_prev_tok read their input token from the
+        device buffer (previous step's sample) instead of the host array."""
+        if inputs.use_prev_tok is None:
+            return inputs
+        dec = inputs.token_ids[n_pre:]
+        dec = jnp.where(inputs.use_prev_tok, tok_buf, dec)
+        token_ids = (jnp.concatenate([inputs.token_ids[:n_pre], dec])
+                     if n_pre else dec)
+        return inputs._replace(token_ids=token_ids)
+
+    def _step(self, params, kv_cache, tok_buf, inputs: StepInputs,
+              n_pre: int):
+        inputs = self._splice_prev_tokens(inputs, tok_buf, n_pre)
         kv_cache, logits = self.model.forward(
             params, kv_cache, inputs, self.backend, n_pre)
         rng, step_rng = jax.random.split(inputs.rng)
         tokens = sample_tokens(logits, inputs.temperatures, inputs.top_p,
                                inputs.top_k, step_rng)
         tokens = jnp.where(inputs.sample_idx >= 0, tokens, -1)
-        return kv_cache, tokens, rng
+        tok_buf = jnp.where(tokens >= 0, tokens, tok_buf)
+        return kv_cache, tok_buf, tokens, rng
 
     # ------------------------------------------------------------------ #
     def _prepare_inputs(self, seq_metadata_list: List[SequenceMetadata]):
@@ -216,6 +259,7 @@ class ModelRunner:
         temperatures = np.ones(B, np.float32)
         top_p = np.ones(B, np.float32)
         top_k = np.full(B, -1, np.int32)
+        use_prev_tok = np.zeros(B, bool)
 
         if prefills:
             meta = prefills[0]
@@ -246,7 +290,12 @@ class ModelRunner:
             seq = meta.seq
             slot = ce.slot_of(meta.seq_id)
             t = n_pre + slot
-            token_ids[t] = seq.get_last_token_id()
+            if seq.num_pending_tokens > 0:
+                # async execution: the value is still on device -- the
+                # step splices it in from the persistent token buffer
+                use_prev_tok[slot] = True
+            else:
+                token_ids[t] = seq.get_last_token_id()
             pos = seq.get_len() - 1
             positions[t] = pos
             append_rows[t] = ce.get_slot_rows(slot, pos, 1)[0]
@@ -293,30 +342,53 @@ class ModelRunner:
             rng=self._rng,  # device-resident; split inside the step
             pod_sched=pod_sched,
             pre_runs=pre_runs if prefills else None,
+            use_prev_tok=use_prev_tok,
         )
         return jax.device_put(host_inputs), n_pre
 
     # ------------------------------------------------------------------ #
+    def run_async(self, seq_metadata_list: List[SequenceMetadata]
+                  ) -> "StepHandle":
+        """Dispatch one serving step without waiting for its results.
+
+        The sampled tokens stay on device (and feed the next step through
+        the persistent token buffer); a device->host copy is started
+        asynchronously so ``resolve`` later finds it already landed.  TPU
+        analog of the reference overlapping allocation/steps with forward
+        (vattention.cu:549-558) -- here it is the sampled-token round trip
+        that must be hidden, not cuMemMap.
+        """
+        inputs, n_pre = self._prepare_inputs(seq_metadata_list)
+        kv_cache, self._tok_buf, tokens, self._rng = self._step_fn(
+            self.params, self.cache_engine.kv_cache, self._tok_buf,
+            inputs, n_pre=n_pre)
+        self.cache_engine.kv_cache = kv_cache
+        try:
+            tokens.copy_to_host_async()
+        except Exception:  # noqa: BLE001 -- not all backends support it
+            pass
+
+        ce = self.cache_engine
+        sampled = []
+        for meta in seq_metadata_list:
+            seq = meta.seq
+            if meta.is_prompt:
+                processed = seq.get_num_prompt_tokens_processed()
+                if processed + meta.prompt_chunk_len < seq.get_prompt_len():
+                    continue  # mid-prompt chunk: nothing sampled
+            sampled.append((seq, ce.slot_of(meta.seq_id), seq.generation))
+        return StepHandle(seq_metadata_list, sampled, tokens)
+
+    @staticmethod
+    def resolve(handle: "StepHandle") -> SamplerOutputs:
+        """Materialize a dispatched step's sampled tokens (blocking)."""
+        tokens = np.asarray(handle.tokens)
+        return [SamplerOutput(seq.seq_id, int(tokens[slot]))
+                for seq, slot, gen in handle.sampled
+                if seq.generation == gen]
+
     def run(self, seq_metadata_list: List[SequenceMetadata]
             ) -> SamplerOutputs:
         if not seq_metadata_list:
             return []
-        inputs, n_pre = self._prepare_inputs(seq_metadata_list)
-        kv_cache, tokens, self._rng = self._step_fn(
-            self.params, self.cache_engine.kv_cache, inputs, n_pre=n_pre)
-        self.cache_engine.kv_cache = kv_cache
-        tokens = np.asarray(tokens)
-
-        outputs: SamplerOutputs = []
-        ce = self.cache_engine
-        for meta in seq_metadata_list:
-            seq = meta.seq
-            slot = ce.slot_of(meta.seq_id)
-            if meta.is_prompt:
-                processed = seq.get_num_prompt_tokens_processed()
-                completes = (processed + meta.prompt_chunk_len
-                             == seq.get_prompt_len())
-                if not completes:
-                    continue
-            outputs.append(SamplerOutput(meta.seq_id, int(tokens[slot])))
-        return outputs
+        return self.resolve(self.run_async(seq_metadata_list))

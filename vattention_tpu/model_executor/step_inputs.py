@@ -46,3 +46,8 @@ class StepInputs(NamedTuple):
     # prefill chunk as contiguous arena runs [S, 3] (dst_row0, src_tok0,
     # n) for the run-append kernel; None on decode-only steps
     pre_runs: jax.Array = None
+    # async execution: slots whose input token is the previous step's
+    # device-sampled token (host only has a placeholder) -- the step
+    # splices it in from the persistent device token buffer, so the
+    # decode critical path never waits on a device->host round trip
+    use_prev_tok: jax.Array = None  # [B] bool

@@ -41,6 +41,9 @@ class BaseWorker:
         self.metrics_store = MetricsStore.get_or_create(config.metrics_config)
         self.cache_engine = None
         self.model_runner = None
+        # async execution: dispatched steps whose sampled tokens are still
+        # in flight, oldest first -- (scheduler_outputs, handle) pairs
+        self._inflight: List[tuple] = []
 
     # ------------------------------------------------------------------ #
     def _param_bytes(self) -> int:
@@ -150,6 +153,45 @@ class BaseWorker:
         sampler_outputs = self.model_runner.run(seq_metadata_list)
         self.metrics_store.on_batch_end(seq_metadata_list, scheduler_outputs)
         return sampler_outputs
+
+    # -- async execution ------------------------------------------------- #
+    def execute_model_async(self, scheduler_outputs: SchedulerOutputs,
+                            seq_metadata_list,
+                            max_inflight: int = 2) -> List[tuple]:
+        """Dispatch this step without blocking on its sampled tokens and
+        return any OLDER steps whose results are now materialized:
+        [(scheduler_outputs, seq_metadata_list, sampler_outputs), ...].
+
+        The device queue keeps at most `max_inflight` unresolved steps, so
+        host bookkeeping runs ~1-2 iterations behind the device -- hiding
+        both the dispatch and the sampled-token round trip (which dominate
+        when the chip sits behind a network tunnel)."""
+        for seq_id in scheduler_outputs.preempted_seq_ids:
+            self.cache_engine.free_seq(seq_id)
+        self.cache_engine.step(seq_metadata_list)
+        handle = self.model_runner.run_async(seq_metadata_list)
+        self.metrics_store.on_batch_end(seq_metadata_list, scheduler_outputs)
+        self._inflight.append((scheduler_outputs, handle))
+        resolved = []
+        while self._inflight and (len(self._inflight) > max_inflight
+                                  or self._inflight[0][1].is_ready()):
+            resolved.append(self._resolve_oldest())
+        return resolved
+
+    def _resolve_oldest(self) -> tuple:
+        scheduler_outputs, handle = self._inflight.pop(0)
+        sampler_outputs = self.model_runner.resolve(handle)
+        return scheduler_outputs, handle.seq_metadata_list, sampler_outputs
+
+    def flush_inflight(self) -> List[tuple]:
+        """Resolve every dispatched-but-unmaterialized step (blocking)."""
+        resolved = []
+        while self._inflight:
+            resolved.append(self._resolve_oldest())
+        return resolved
+
+    def has_inflight_steps(self) -> bool:
+        return bool(self._inflight)
 
     def on_step_completed(self, seq_metadata_list) -> None:
         """Free finished sequences' cache slots (after the engine has
