@@ -34,11 +34,18 @@ class VattnAttentionBackend:
                             else scratch_row)
         self.q_tile = q_tile
         self.kv_tile = kv_tile or select_kv_tile(block_tokens)
+        # prefill wants 512-wide MXU tiles; when extents are only aligned
+        # to a smaller block size, fetch the compute tile as several
+        # block-aligned sub-tile DMAs (kv_fetch)
+        self.wide_kv_fetch = max(1, min(4, 512 // self.kv_tile))
+        self.wide_kv_tile = self.kv_tile * self.wide_kv_fetch
         self.num_segments = num_segments
         # tiles bounded by the max context (not arena size) to keep the
         # skipped-tile tail of the grid short
         self.max_kv_tiles = cdiv(min(max_context_len, arena_rows),
                                  self.kv_tile)
+        self.wide_max_kv_tiles = cdiv(min(max_context_len, arena_rows),
+                                     self.wide_kv_tile)
 
     def append_kv(self, kv_cache, k, v, inputs: StepInputs, layer_idx,
                   n_prefill_tokens: int = 0):
@@ -75,16 +82,18 @@ class VattnAttentionBackend:
             outs.append(flash_prefill(
                 q[:n_prefill_tokens], kv_cache,
                 inputs.pre_seg_row, inputs.pre_seg_cum, qinfo,
-                q_tile=self.q_tile, kv_tile=self.kv_tile,
+                q_tile=self.q_tile, kv_tile=self.wide_kv_tile,
                 num_segments=self.num_segments, sm_scale=sm_scale,
-                max_kv_tiles=self.max_kv_tiles,
-                window=self.sliding_window))
+                max_kv_tiles=self.wide_max_kv_tiles,
+                window=self.sliding_window,
+                kv_fetch=self.wide_kv_fetch))
         if q.shape[0] > n_prefill_tokens:
             outs.append(flash_decode(
                 q[n_prefill_tokens:], kv_cache,
                 inputs.dec_seg_row, inputs.dec_seg_cum, inputs.dec_seqlens,
                 layer_idx.astype(jnp.int32),
-                kv_tile=self.kv_tile, num_segments=self.num_segments,
-                sm_scale=sm_scale, max_kv_tiles=self.max_kv_tiles,
-                window=self.sliding_window))
+                kv_tile=self.wide_kv_tile, num_segments=self.num_segments,
+                sm_scale=sm_scale, max_kv_tiles=self.wide_max_kv_tiles,
+                window=self.sliding_window,
+                kv_fetch=self.wide_kv_fetch))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

@@ -31,12 +31,14 @@ def _decode_kernel(
     # scalar prefetch
     seg_row_ref, seg_cum_ref, seqlens_ref, dinfo_ref,
     # blocks
-    q_ref, k_ref, v_ref, out_ref,
+    q_ref, k_refs, v_refs, out_ref,
     # scratch
     m_ref, l_ref, acc_ref,
     *, kv_tile: int, num_segments: int, sm_scale: float,
     window: int | None = None,
 ):
+    if not isinstance(k_refs, (tuple, list)):
+        k_refs, v_refs = (k_refs,), (v_refs,)
     b = pl.program_id(0)
     kt = pl.program_id(1)
     kv_len = seqlens_ref[b]
@@ -52,12 +54,16 @@ def _decode_kernel(
     @pl.when(kt < n_tiles)
     def _compute():
         Hq, D = q_ref.shape
-        Hkv = k_ref.shape[0]
+        Hkv = k_refs[0].shape[0]
         G = Hq // Hkv
         q = q_ref[...].reshape(Hkv, G, D)
-        k = k_ref[...]  # [Hkv, kv_tile, D]
+        k = (k_refs[0][...] if len(k_refs) == 1 else
+             jnp.concatenate([r[...] for r in k_refs], axis=1))
+        # compute-dtype matmul (bf16 MXU, f32 accumulate); fp8 upcasts
+        if k.dtype != q.dtype:
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
-            q.astype(jnp.float32), k.astype(jnp.float32),
+            q, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # [Hkv, G, kv_tile]
         s = s * sm_scale
@@ -74,9 +80,12 @@ def _decode_kernel(
         p = jnp.exp(s - m_new[..., None])
         alpha = jnp.exp(m_prev - m_new)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1)
-        v = v_ref[...]
+        v = (v_refs[0][...] if len(v_refs) == 1 else
+             jnp.concatenate([r[...] for r in v_refs], axis=1))
+        if v.dtype != q_ref.dtype:
+            v = v.astype(q_ref.dtype)
         pv = jax.lax.dot_general(
-            p, v.astype(jnp.float32),
+            p.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # [Hkv, G, D]
         acc_ref[...] = acc_ref[...] * alpha[..., None] + pv
@@ -93,7 +102,7 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("kv_tile", "num_segments", "sm_scale",
-                     "max_kv_tiles", "window"))
+                     "max_kv_tiles", "window", "kv_fetch"))
 def flash_decode(
     q: jax.Array,            # [B, Hq, D]
     kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
@@ -102,14 +111,19 @@ def flash_decode(
     seqlens: jax.Array,      # [B] int32 (0 = inactive slot)
     dinfo: jax.Array,        # [1] int32: (layer,)
     *,
-    kv_tile: int = 256,
+    kv_tile: int = 512,
     num_segments: int = 8,
     sm_scale: float | None = None,
     max_kv_tiles: int | None = None,
     window: int | None = None,
+    kv_fetch: int = 1,
 ) -> jax.Array:
+    """``kv_fetch`` splits the compute tile into block-aligned sub-tile
+    DMAs (see flash_prefill) so wide tiles work on small-page arenas."""
     B, Hq, D = q.shape
     L, _, Hkv, R, _ = kv_cache.shape
+    assert kv_tile % kv_fetch == 0
+    sub = kv_tile // kv_fetch
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
     if max_kv_tiles is None:
@@ -117,23 +131,25 @@ def flash_decode(
     G = Hq // Hkv
 
     def kv_index_map(b, kt, seg_row_ref, seg_cum_ref, seqlens_ref,
-                     dinfo_ref, kv01):
+                     dinfo_ref, kv01, part):
         layer = dinfo_ref[0]
         n_tiles = pl.cdiv(seqlens_ref[b], kv_tile)
         t_eff = jnp.clip(kt, 0, jnp.maximum(n_tiles - 1, 0))
-        row = seg_row_lookup(t_eff * kv_tile, seg_row_ref, seg_cum_ref,
-                             num_segments, prefix=(b,))
-        return (layer, kv01, 0, row // kv_tile, 0)
+        row = seg_row_lookup(t_eff * kv_tile + part * sub, seg_row_ref,
+                             seg_cum_ref, num_segments, prefix=(b,))
+        return (layer, kv01, 0, row // sub, 0)
 
+    kv_specs = [
+        pl.BlockSpec((None, None, Hkv, sub, D),
+                     functools.partial(kv_index_map, kv01=kv01, part=p))
+        for kv01 in (0, 1) for p in range(kv_fetch)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, max_kv_tiles),
         in_specs=[
             pl.BlockSpec((None, Hq, D), lambda b, kt, *_: (b, 0, 0)),
-            pl.BlockSpec((None, None, Hkv, kv_tile, D),
-                         functools.partial(kv_index_map, kv01=0)),
-            pl.BlockSpec((None, None, Hkv, kv_tile, D),
-                         functools.partial(kv_index_map, kv01=1)),
+            *kv_specs,
         ],
         out_specs=pl.BlockSpec((None, Hq, D), lambda b, kt, *_: (b, 0, 0)),
         scratch_shapes=[
@@ -142,12 +158,22 @@ def flash_decode(
             pltpu.VMEM((Hkv, G, D), jnp.float32),   # acc
         ],
     )
-    kernel = functools.partial(
-        _decode_kernel, kv_tile=kv_tile, num_segments=num_segments,
-        sm_scale=sm_scale, window=window)
+
+    def kernel(seg_row_ref, seg_cum_ref, seqlens_ref, dinfo_ref, q_ref,
+               *rest):
+        kv_refs, (out_ref, m_ref, l_ref, acc_ref) = \
+            rest[:2 * kv_fetch], rest[2 * kv_fetch:]
+        _decode_kernel(seg_row_ref, seg_cum_ref, seqlens_ref, dinfo_ref,
+                       q_ref, tuple(kv_refs[:kv_fetch]),
+                       tuple(kv_refs[kv_fetch:]), out_ref, m_ref, l_ref,
+                       acc_ref, kv_tile=kv_tile,
+                       num_segments=num_segments, sm_scale=sm_scale,
+                       window=window)
+
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
         interpret=interpret_mode(),
-    )(seg_row, seg_cum, seqlens, dinfo, q, kv_cache, kv_cache)
+    )(seg_row, seg_cum, seqlens, dinfo, q,
+      *([kv_cache] * (2 * kv_fetch)))

@@ -10,11 +10,16 @@ K/V operand and no block tables: the BlockSpec index_map resolves the
 request's extent table with scalar arithmetic (scalar prefetch) and the
 automatic Pallas pipeline double-buffers the HBM->VMEM tile DMAs.
 
-Layout conventions (head-major -- contiguous per-head KV streams, TP
-shards on the head axis, and Mosaic's batched-matmul batch dims line up):
-  q        : [Hkv, G, Tq, D]   (G = Hq/Hkv query groups; Tq % q_tile == 0)
-  kv_cache : [L, 2, Hkv, R, D] (stacked layers; 0=K, 1=V; R arena rows)
-  out      : [Hkv, G, Tq, D]
+Performance structure (v5e measurements drove these choices):
+  - the kv head is a GRID dimension, not a matmul batch dim: each grid
+    step runs plain 2-D [G*q_tile, D] x [D, kv_tile] MXU matmuls, which
+    Mosaic schedules far better than Hkv-batched dots, and the 4x smaller
+    per-step footprint admits kv_tile=512;
+  - q/out blocks slice the native [Tq, Hq, D] layout (heads of one kv
+    group are adjacent), so no host-side transposes;
+  - interior tiles skip causal/length mask construction entirely -- the
+    masked body runs only where the tile crosses the diagonal or the
+    kv-length boundary (the splash-attention dual-body pattern).
 """
 
 from __future__ import annotations
@@ -34,20 +39,23 @@ def _prefill_kernel(
     # scalar prefetch
     seg_row_ref, seg_cum_ref, qinfo_ref,
     # blocks
-    q_ref, k_ref, v_ref, out_ref,
+    q_ref, k_refs, v_refs, out_ref,
     # scratch
     m_ref, l_ref, acc_ref,
     *, q_tile: int, kv_tile: int, num_segments: int, sm_scale: float,
     window: int | None = None,
 ):
-    qt = pl.program_id(0)
-    kt = pl.program_id(1)
+    if not isinstance(k_refs, (tuple, list)):
+        k_refs, v_refs = (k_refs,), (v_refs,)
+    qt = pl.program_id(1)
+    kt = pl.program_id(2)
     q_start = qinfo_ref[0]          # absolute position of q token 0
     kv_len = qinfo_ref[1]           # total kv rows to attend (history+chunk)
 
     n_kv_tiles = jnp.maximum(1, pl.cdiv(kv_len, kv_tile))
     # last tile this q tile may see under causality
-    q_last_pos = q_start + (qt + 1) * q_tile - 1
+    q_lo = q_start + qt * q_tile
+    q_last_pos = q_lo + q_tile - 1
     diag_tile = jnp.minimum(q_last_pos // kv_tile, n_kv_tiles - 1)
 
     @pl.when(kt == 0)
@@ -56,55 +64,88 @@ def _prefill_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(kt <= diag_tile)
-    def _compute():
-        Hkv, G, _, D = q_ref.shape
-        q = q_ref[...].reshape(Hkv, G * q_tile, D)
-        k = k_ref[...]  # [Hkv, kv_tile, D]
+    tile_start = kt * kv_tile
+    # mask needed only where the tile crosses the causal diagonal, the
+    # kv-length tail, or (sliding window) the window's leading edge
+    crosses_diag = tile_start + kv_tile - 1 > q_lo
+    crosses_len = tile_start + kv_tile > kv_len
+    if window is not None:
+        # earliest window start among this q tile's rows
+        crosses_window = tile_start < q_last_pos - window + 1
+    else:
+        crosses_window = False
+
+    def body(masked: bool):
+        q_tile_, G, D = q_ref.shape
+        q = q_ref[...].reshape(q_tile * G, D)  # row = t*G + g
+        # the compute tile may arrive as several block-aligned sub-tile
+        # DMAs (extents are only block_tokens-aligned); stitch in VMEM
+        k = (k_refs[0][...] if len(k_refs) == 1 else
+             jnp.concatenate([r[...] for r in k_refs], axis=0))
+        # keep matmul inputs in the compute dtype: bf16 hits the MXU at
+        # full rate (f32 accumulate); f32 test mode stays bit-exact; fp8
+        # arenas upcast to the query dtype
+        if k.dtype != q.dtype:
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
-            q.astype(jnp.float32), k.astype(jnp.float32),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [Hkv, G*q_tile, kv_tile]
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [q_tile*G, kv_tile]
         s = s * sm_scale
 
-        # causal + length mask
-        row = jax.lax.broadcasted_iota(jnp.int32, (G * q_tile, kv_tile), 0)
-        q_pos = q_start + qt * q_tile + row % q_tile
-        kv_pos = (kt * kv_tile
-                  + jax.lax.broadcasted_iota(jnp.int32,
-                                             (G * q_tile, kv_tile), 1))
-        mask = jnp.logical_and(q_pos >= kv_pos, kv_pos < kv_len)
-        if window is not None:
-            mask = jnp.logical_and(mask, kv_pos > q_pos - window)
-        s = jnp.where(mask[None], s, MASK_VALUE)
+        if masked:
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (q_tile * G, kv_tile), 0)
+            q_pos = q_lo + row // G
+            kv_pos = (tile_start
+                      + jax.lax.broadcasted_iota(
+                          jnp.int32, (q_tile * G, kv_tile), 1))
+            mask = jnp.logical_and(q_pos >= kv_pos, kv_pos < kv_len)
+            if window is not None:
+                mask = jnp.logical_and(mask, kv_pos > q_pos - window)
+            s = jnp.where(mask, s, MASK_VALUE)
 
-        m_prev = m_ref[...]  # [Hkv, G*q_tile]
+        m_prev = m_ref[0]  # [q_tile*G]
         m_cur = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new[..., None])
+        p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m_prev - m_new)
-        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1)
-        v = v_ref[...]  # [Hkv, kv_tile, D]
+        l_ref[0] = l_ref[0] * alpha + jnp.sum(p, axis=-1)
+        v = (v_refs[0][...] if len(v_refs) == 1 else
+             jnp.concatenate([r[...] for r in v_refs], axis=0))
+        if v.dtype != q.dtype:
+            v = v.astype(q.dtype)
         pv = jax.lax.dot_general(
-            p, v.astype(jnp.float32),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [Hkv, G*q_tile, D]
-        acc_ref[...] = acc_ref[...] * alpha[..., None] + pv
-        m_ref[...] = m_new
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [q_tile*G, D]
+        acc_ref[...] = acc_ref[...] * alpha[:, None] + pv
+        m_ref[0] = m_new
 
-    @pl.when(kt == pl.num_programs(1) - 1)
+    need_mask = jnp.logical_or(jnp.logical_or(crosses_diag, crosses_len),
+                               crosses_window)
+    live = kt <= diag_tile
+
+    @pl.when(jnp.logical_and(live, need_mask))
+    def _masked():
+        body(masked=True)
+
+    @pl.when(jnp.logical_and(live, jnp.logical_not(need_mask)))
+    def _unmasked():
+        body(masked=False)
+
+    @pl.when(kt == pl.num_programs(2) - 1)
     def _finish():
-        Hkv, G, _, D = q_ref.shape
-        l = l_ref[...]
+        q_tile_, G, D = q_ref.shape
+        l = l_ref[0]
         l = jnp.where(l == 0.0, 1.0, l)
-        o = acc_ref[...] / l[..., None]  # [Hkv, G*q_tile, D]
-        out_ref[...] = o.reshape(Hkv, G, q_tile, D).astype(out_ref.dtype)
+        o = acc_ref[...] / l[:, None]  # [q_tile*G, D]
+        out_ref[...] = o.reshape(q_tile_, G, D).astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("q_tile", "kv_tile", "num_segments",
-                     "sm_scale", "max_kv_tiles", "window"))
+                     "sm_scale", "max_kv_tiles", "window", "kv_fetch"))
 def flash_prefill(
     q: jax.Array,            # [Tq, Hq, D], Tq % q_tile == 0
     kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
@@ -113,60 +154,83 @@ def flash_prefill(
     qinfo: jax.Array,        # [3] int32: (q_start, kv_len, layer)
     *,
     q_tile: int = 128,
-    kv_tile: int = 256,
+    kv_tile: int = 512,
     num_segments: int = 8,
     sm_scale: float | None = None,
     max_kv_tiles: int | None = None,
     window: int | None = None,
+    kv_fetch: int = 1,
 ) -> jax.Array:
+    """``kv_fetch`` splits the compute tile into that many separately
+    addressed sub-tile DMAs of kv_tile/kv_fetch rows each, so a 512-wide
+    MXU tile works even when arena extents are only 256-token aligned
+    (the 256KB-page configuration)."""
     Tq, Hq, D = q.shape
     L, _, Hkv, R, _ = kv_cache.shape
     assert Tq % q_tile == 0, (Tq, q_tile)
+    assert kv_tile % kv_fetch == 0
+    sub = kv_tile // kv_fetch
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
     if max_kv_tiles is None:
         max_kv_tiles = cdiv(R, kv_tile)
     n_q_tiles = Tq // q_tile
     G = Hq // Hkv
-    q_hm = q.reshape(Tq, Hkv, G, D).transpose(1, 2, 0, 3)
+    # heads of one kv group are adjacent in [Tq, Hq, D]: block (q_tile, G,
+    # D) at head offset h*G slices q/out without any transpose
+    q_blk = q.reshape(Tq // q_tile, q_tile, Hkv, G, D)
 
-    def kv_index_map(qt, kt, seg_row_ref, seg_cum_ref, qinfo_ref, kv01):
+    def kv_index_map(h, qt, kt, seg_row_ref, seg_cum_ref, qinfo_ref,
+                     kv01, part):
         layer = qinfo_ref[2]
         kv_len = qinfo_ref[1]
         n_kv_tiles = jnp.maximum(1, pl.cdiv(kv_len, kv_tile))
         q_last_pos = qinfo_ref[0] + (qt + 1) * q_tile - 1
         diag_tile = jnp.minimum(q_last_pos // kv_tile, n_kv_tiles - 1)
         t_eff = jnp.minimum(kt, diag_tile)  # clamp: repeats elide the DMA
-        row = seg_row_lookup(t_eff * kv_tile, seg_row_ref, seg_cum_ref,
-                             num_segments)
-        return (layer, kv01, 0, row // kv_tile, 0)
+        row = seg_row_lookup(t_eff * kv_tile + part * sub, seg_row_ref,
+                             seg_cum_ref, num_segments)
+        return (layer, kv01, h, row // sub, 0)
 
+    kv_specs = [
+        pl.BlockSpec((None, None, None, sub, D),
+                     functools.partial(kv_index_map, kv01=kv01, part=p))
+        for kv01 in (0, 1) for p in range(kv_fetch)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_q_tiles, max_kv_tiles),
+        grid=(Hkv, n_q_tiles, max_kv_tiles),
         in_specs=[
-            pl.BlockSpec((Hkv, G, q_tile, D),
-                         lambda qt, kt, *_: (0, 0, qt, 0)),
-            pl.BlockSpec((None, None, Hkv, kv_tile, D),
-                         functools.partial(kv_index_map, kv01=0)),
-            pl.BlockSpec((None, None, Hkv, kv_tile, D),
-                         functools.partial(kv_index_map, kv01=1)),
+            pl.BlockSpec((None, q_tile, None, G, D),
+                         lambda h, qt, kt, *_: (qt, 0, h, 0, 0)),
+            *kv_specs,
         ],
-        out_specs=pl.BlockSpec((Hkv, G, q_tile, D),
-                               lambda qt, kt, *_: (0, 0, qt, 0)),
+        out_specs=pl.BlockSpec((None, q_tile, None, G, D),
+                               lambda h, qt, kt, *_: (qt, 0, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Hkv, G * q_tile), jnp.float32),     # m
-            pltpu.VMEM((Hkv, G * q_tile), jnp.float32),     # l
-            pltpu.VMEM((Hkv, G * q_tile, D), jnp.float32),  # acc
+            pltpu.VMEM((1, q_tile * G), jnp.float32),     # m
+            pltpu.VMEM((1, q_tile * G), jnp.float32),     # l
+            pltpu.VMEM((q_tile * G, D), jnp.float32),     # acc
         ],
     )
-    kernel = functools.partial(
-        _prefill_kernel, q_tile=q_tile, kv_tile=kv_tile,
-        num_segments=num_segments, sm_scale=sm_scale, window=window)
+
+    def kernel(seg_row_ref, seg_cum_ref, qinfo_ref, q_ref, *rest):
+        kv_refs, (out_ref, m_ref, l_ref, acc_ref) = \
+            rest[:2 * kv_fetch], rest[2 * kv_fetch:]
+        _prefill_kernel(seg_row_ref, seg_cum_ref, qinfo_ref, q_ref,
+                        tuple(kv_refs[:kv_fetch]), tuple(kv_refs[kv_fetch:]),
+                        out_ref, m_ref, l_ref, acc_ref,
+                        q_tile=q_tile, kv_tile=kv_tile,
+                        num_segments=num_segments, sm_scale=sm_scale,
+                        window=window)
+
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Hkv, G, Tq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q_blk.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret_mode(),
-    )(seg_row, seg_cum, qinfo, q_hm, kv_cache, kv_cache)
-    return out.transpose(2, 0, 1, 3).reshape(Tq, Hq, D)
+    )(seg_row, seg_cum, qinfo, q_blk,
+      *([kv_cache] * (2 * kv_fetch)))
+    return out.reshape(Tq, Hq, D)

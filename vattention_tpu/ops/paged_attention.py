@@ -50,34 +50,34 @@ def paged_flash_prefill(
         max_kv_tiles = block_table.shape[0]
     n_q_tiles = Tq // q_tile
     G = Hq // Hkv
-    q_hm = q.reshape(Tq, Hkv, G, D).transpose(1, 2, 0, 3)
+    q_blk = q.reshape(Tq // q_tile, q_tile, Hkv, G, D)
 
-    def kv_index_map(qt, kt, table_ref, qinfo_ref, kv01):
+    def kv_index_map(h, qt, kt, table_ref, qinfo_ref, kv01):
         layer = qinfo_ref[2]
         kv_len = qinfo_ref[1]
         n_kv_tiles = jnp.maximum(1, pl.cdiv(kv_len, kv_tile))
         q_last_pos = qinfo_ref[0] + (qt + 1) * q_tile - 1
         diag_tile = jnp.minimum(q_last_pos // kv_tile, n_kv_tiles - 1)
         t_eff = jnp.minimum(kt, diag_tile)
-        return (layer, kv01, 0, table_ref[t_eff], 0)
+        return (layer, kv01, h, table_ref[t_eff], 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_q_tiles, max_kv_tiles),
+        grid=(Hkv, n_q_tiles, max_kv_tiles),
         in_specs=[
-            pl.BlockSpec((Hkv, G, q_tile, D),
-                         lambda qt, kt, *_: (0, 0, qt, 0)),
-            pl.BlockSpec((None, None, Hkv, kv_tile, D),
+            pl.BlockSpec((None, q_tile, None, G, D),
+                         lambda h, qt, kt, *_: (qt, 0, h, 0, 0)),
+            pl.BlockSpec((None, None, None, kv_tile, D),
                          functools.partial(kv_index_map, kv01=0)),
-            pl.BlockSpec((None, None, Hkv, kv_tile, D),
+            pl.BlockSpec((None, None, None, kv_tile, D),
                          functools.partial(kv_index_map, kv01=1)),
         ],
-        out_specs=pl.BlockSpec((Hkv, G, q_tile, D),
-                               lambda qt, kt, *_: (0, 0, qt, 0)),
+        out_specs=pl.BlockSpec((None, q_tile, None, G, D),
+                               lambda h, qt, kt, *_: (qt, 0, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Hkv, G * q_tile), jnp.float32),
-            pltpu.VMEM((Hkv, G * q_tile), jnp.float32),
-            pltpu.VMEM((Hkv, G * q_tile, D), jnp.float32),
+            pltpu.VMEM((1, q_tile * G), jnp.float32),
+            pltpu.VMEM((1, q_tile * G), jnp.float32),
+            pltpu.VMEM((q_tile * G, D), jnp.float32),
         ],
     )
 
@@ -92,10 +92,12 @@ def paged_flash_prefill(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Hkv, G, Tq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q_blk.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret_mode(),
-    )(block_table, qinfo, q_hm, kv_cache, kv_cache)
-    return out.transpose(2, 0, 1, 3).reshape(Tq, Hq, D)
+    )(block_table, qinfo, q_blk, kv_cache, kv_cache)
+    return out.reshape(Tq, Hq, D)
 
 
 @functools.partial(

@@ -135,8 +135,11 @@ def _pod_kernel(
 
         q = qp_ref[...].reshape(Hkv, G * q_tile, D)
         k = k_ref[...]
+        # compute-dtype matmul (bf16 MXU, f32 accumulate); fp8 upcasts
+        if k.dtype != q.dtype:
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
-            q.astype(jnp.float32), k.astype(jnp.float32),
+            q, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * sm_scale
         row = jax.lax.broadcasted_iota(jnp.int32, (G * q_tile, kv_tile), 0)
@@ -150,8 +153,10 @@ def _pod_kernel(
         p = jnp.exp(s - m_new[..., None])
         alpha = jnp.exp(m_prev - m_new)
         pl_ref[...] = pl_ref[...] * alpha + jnp.sum(p, axis=-1)
+        v = v_ref[...].astype(q.dtype) if v_ref.dtype != q.dtype \
+            else v_ref[...]
         pv = jax.lax.dot_general(
-            p, v_ref[...].astype(jnp.float32),
+            p.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         pacc_ref[...] = pacc_ref[...] * alpha[..., None] + pv
@@ -184,8 +189,10 @@ def _pod_kernel(
 
         q = qd_ref[...].reshape(Hkv, G, D)
         k = k_ref[...]
+        if k.dtype != q.dtype:
+            k = k.astype(q.dtype)
         s = jax.lax.dot_general(
-            q.astype(jnp.float32), k.astype(jnp.float32),
+            q, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * sm_scale
         kv_len_b = dec_seqlens_ref[b]
@@ -197,8 +204,10 @@ def _pod_kernel(
         p = jnp.exp(s - m_new[..., None])
         alpha = jnp.exp(m_prev - m_new)
         dl_ref[b] = dl_ref[b] * alpha + jnp.sum(p, axis=-1)
+        v = v_ref[...].astype(q.dtype) if v_ref.dtype != q.dtype \
+            else v_ref[...]
         pv = jax.lax.dot_general(
-            p, v_ref[...].astype(jnp.float32),
+            p.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         dacc_ref[b] = dacc_ref[b] * alpha[..., None] + pv
