@@ -24,6 +24,9 @@ def main():
     p.add_argument("--memory-mb", type=int, default=256)
     p.add_argument("--max-context", type=int, default=8192)
     p.add_argument("--megacache", action="store_true")
+    p.add_argument("--sync", action="store_true",
+                   help="step_sync instead of step_async "
+                        "(ref vattn_demo_sync.py vs vattn_demo_async.py)")
     args = p.parse_args()
 
     alloc = VAttentionAllocator()
@@ -61,7 +64,8 @@ def main():
             alloc.seq_lens[sid] += 1
             active[sid] -= 1
         t0 = time.perf_counter()
-        plan = alloc.step_async(alloc.seq_lens.copy())
+        step = alloc.step_sync if args.sync else alloc.step_async
+        plan = step(alloc.seq_lens.copy())
         step_times.append(time.perf_counter() - t0)
         relocs += len(plan)
         for sid in [s for s, d in active.items() if d <= 0]:

@@ -27,10 +27,13 @@ class BenchmarkRunner:
     def __init__(self, engine_kwargs: dict, generator_provider: str,
                  generator_config: dict, *,
                  time_limit_s: Optional[float] = None,
-                 warmup: bool = True):
+                 warmup: bool = True,
+                 requests: Optional[List[Request]] = None):
         self.engine = LLMEngine.from_engine_args(**engine_kwargs)
-        self.generator = RequestGeneratorRegistry.get(
-            generator_provider, generator_config)
+        self.generator = (None if requests is not None else
+                          RequestGeneratorRegistry.get(
+                              generator_provider, generator_config))
+        self.requests = requests
         self.time_limit_s = time_limit_s or float("inf")
         self.warmup = warmup
         self.rng = np.random.default_rng(0)
@@ -64,7 +67,8 @@ class BenchmarkRunner:
     def run(self) -> dict:
         if self.warmup:
             self._warmup()
-        requests = self.generator.generate()
+        requests = (self.requests if self.requests is not None
+                    else self.generator.generate())
         base = time.monotonic()
         self._add_requests(requests, base)
         num_steps = 0
@@ -79,5 +83,62 @@ class BenchmarkRunner:
         store = self.engine.get_metric_store()
         summary = store.summary()
         summary["totals"]["num_steps"] = num_steps
+        store.plot()
+        return summary
+
+
+class BenchmarkRunnerLauncher:
+    """Multi-replica launcher (ref benchmark_runner.py:201-348).
+
+    The reference places one Ray-actor runner per replica across the GPU
+    cluster and round-robins requests (ref :52).  Single-controller JAX
+    serves replicas as independent engines; on a shared chip their steps
+    interleave (real deployments put each replica on its own slice).
+    Metrics aggregate through the shared MetricsStore.
+    """
+
+    def __init__(self, engine_kwargs: dict, generator_provider: str,
+                 generator_config: dict, *, num_replicas: int = 1,
+                 time_limit_s: Optional[float] = None, warmup: bool = True):
+        self.num_replicas = num_replicas
+        generator = RequestGeneratorRegistry.get(generator_provider,
+                                                 generator_config)
+        requests = generator.generate()
+        # round-robin request assignment (ref :52)
+        per_replica = [requests[r::num_replicas]
+                       for r in range(num_replicas)]
+        kwargs = dict(engine_kwargs)
+        if num_replicas > 1:
+            kwargs["gpu_memory_utilization"] = (
+                kwargs.get("gpu_memory_utilization", 0.9) / num_replicas)
+        self.runners = [
+            BenchmarkRunner(kwargs, generator_provider, generator_config,
+                            time_limit_s=time_limit_s, warmup=warmup,
+                            requests=per_replica[r])
+            for r in range(num_replicas)
+        ]
+
+    def run(self) -> dict:
+        if self.num_replicas == 1:
+            return self.runners[0].run()
+        for runner in self.runners:
+            if runner.warmup:
+                runner._warmup()
+        base = time.monotonic()
+        for r, runner in enumerate(self.runners):
+            runner._add_requests(runner.requests, base)
+        num_steps = 0
+        live = list(self.runners)
+        while live:
+            for runner in list(live):
+                if runner.engine.has_unfinished_requests():
+                    runner.engine.step()
+                    num_steps += 1
+                else:
+                    live.remove(runner)
+        store = self.runners[0].engine.get_metric_store()
+        summary = store.summary()
+        summary["totals"]["num_steps"] = num_steps
+        summary["totals"]["num_replicas"] = self.num_replicas
         store.plot()
         return summary

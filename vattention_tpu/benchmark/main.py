@@ -115,9 +115,49 @@ def run_from_args(args) -> dict:
     return summary
 
 
+def run_from_flat(flat: dict) -> dict:
+    """YAML-config path (ref main.py + config.ConfigParser): nested
+    default.yml flattened into --section_key flags."""
+    from vattention_tpu.benchmark.benchmark_runner import (
+        BenchmarkRunnerLauncher,
+    )
+    from vattention_tpu.benchmark.config import flat_to_runner_args
+
+    engine_kwargs, provider, generator_config, opts = \
+        flat_to_runner_args(flat)
+    if opts["test"]:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        engine_kwargs.update(model="tiny-llama-debug", max_model_len=2048,
+                             max_batch_size=4, max_num_seqs=4,
+                             chunk_size=128)
+        generator_config.update(num_requests=2)
+        generator_config["prefill_tokens"] = min(
+            generator_config.get("prefill_tokens", 256), 256)
+        generator_config["decode_tokens"] = min(
+            generator_config.get("decode_tokens", 8), 8)
+    launcher = BenchmarkRunnerLauncher(
+        engine_kwargs, provider, generator_config,
+        num_replicas=opts["num_replicas"],
+        time_limit_s=opts["time_limit_s"])
+    summary = launcher.run()
+    print(json.dumps(summary["totals"], indent=2))
+    return summary
+
+
 def main():
-    args = add_args(argparse.ArgumentParser()).parse_args()
-    run_from_args(args)
+    import sys
+
+    from vattention_tpu.benchmark.config import ConfigParser
+
+    cp = ConfigParser()
+    yaml_flags = ({f"--{k}" for k in cp.defaults} | {"--config_file"})
+    argv = sys.argv[1:]
+    if any(a.split("=")[0] in yaml_flags for a in argv):
+        run_from_flat(cp.parse_args(argv))
+    else:
+        run_from_args(add_args(argparse.ArgumentParser()).parse_args(argv))
 
 
 if __name__ == "__main__":

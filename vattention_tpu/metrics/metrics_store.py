@@ -137,6 +137,9 @@ class MetricsStore:
             self.scheduling_delay.add(state.scheduling_delay)
         if state.e2e_prefill_time is not None:
             self.prefill_e2e_time.add(state.e2e_prefill_time)
+            # TTFT == arrival -> prompt-processing-complete (the first
+            # output token is sampled by the prefill's final chunk)
+            self.ttft.add(state.e2e_prefill_time)
         self.num_completed_requests += 1
 
     def on_batch_start(self) -> None:
@@ -181,7 +184,7 @@ class MetricsStore:
     def merge(self, other: "MetricsStore") -> None:
         """Merge a worker/replica store (ref :867+)."""
         for name in ("request_e2e_time", "request_e2e_time_normalized",
-                     "prefill_e2e_time", "scheduling_delay", "tbt",
+                     "prefill_e2e_time", "scheduling_delay", "tbt", "ttft",
                      "batch_num_tokens", "batch_size",
                      "batch_execution_time"):
             mine, theirs = getattr(self, name), getattr(other, name)
@@ -197,7 +200,7 @@ class MetricsStore:
             name: getattr(self, name).summary()
             for name in ("request_e2e_time", "request_e2e_time_normalized",
                          "prefill_e2e_time", "scheduling_delay", "tbt",
-                         "batch_num_tokens", "batch_size",
+                         "ttft", "batch_num_tokens", "batch_size",
                          "batch_execution_time")
         }
         out["totals"] = {
@@ -218,7 +221,7 @@ class MetricsStore:
             return
         os.makedirs(self.config.output_dir, exist_ok=True)
         for name in ("request_e2e_time", "request_e2e_time_normalized",
-                     "prefill_e2e_time", "scheduling_delay", "tbt",
+                     "prefill_e2e_time", "scheduling_delay", "tbt", "ttft",
                      "batch_num_tokens", "batch_size",
                      "batch_execution_time"):
             getattr(self, name).to_csv(

@@ -37,7 +37,7 @@ class VattnAttentionBackend:
         # prefill wants 512-wide MXU tiles; when extents are only aligned
         # to a smaller block size, fetch the compute tile as several
         # block-aligned sub-tile DMAs (kv_fetch)
-        self.wide_kv_fetch = max(1, min(4, 512 // self.kv_tile))
+        self.wide_kv_fetch = max(1, min(8, 512 // self.kv_tile))
         self.wide_kv_tile = self.kv_tile * self.wide_kv_fetch
         self.num_segments = num_segments
         # tiles bounded by the max context (not arena size) to keep the
