@@ -38,7 +38,7 @@ def main():
                    help="tiny CPU smoke run (sanity only)")
     p.add_argument("--model", default="yi-6b-200k")
     p.add_argument("--backend", default="fa_vattn_256kb")
-    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--batch", type=int, default=24)
     p.add_argument("--ctx", type=int, default=1024)
     p.add_argument("--decode-steps", type=int, default=20)
     p.add_argument("--max-model-len", type=int, default=2048)
@@ -67,35 +67,45 @@ def main():
         gpu_memory_utilization=0.9,
     )
 
-    many = args.ctx + args.decode_steps + 8
     for i in range(args.batch):
         engine.add_request(
             prompt=None,
             prompt_token_ids=[(7 * i + j) % 1000 + 1
                               for j in range(args.ctx)],
             sampling_params=SamplingParams(
-                temperature=0.0, max_tokens=args.decode_steps + 8,
+                # large enough that nothing finishes during the run --
+                # otherwise early requests complete while later prompts
+                # prefill and the "steady state" silently shrinks
+                temperature=0.0, max_tokens=100_000,
                 ignore_eos=True),
             seq_id=f"b{i}")
 
     # run prefills until every request is decoding
+    guard = 0
     while True:
-        outs = engine.step()
+        engine.step()
         sched = engine.scheduler
         if all(s.prompt_processing_finished for s in sched.running) \
                 and not sched.waiting:
             break
+        guard += 1
+        assert guard < 10_000, (
+            "requests stuck waiting: batch exceeds KV capacity at this "
+            "context length -- lower --batch or --ctx")
 
-    # timed decode steady state
+    # timed decode steady state; count decode tokens actually scheduled
+    # (not batch * steps -- beyond-capacity configs would overcount)
+    store = engine.metrics_store
     for _ in range(3):
         engine.step()  # warm the decode-only signature
+    d0 = store.num_decode_tokens
     t0 = time.perf_counter()
-    n = 0
     for _ in range(args.decode_steps):
         engine.step()
-        n += args.batch
     dt = time.perf_counter() - t0
+    n = store.num_decode_tokens - d0
     tokens_per_s = n / dt
+    concurrency = n / args.decode_steps
 
     # memory roofline for one decode step
     arch = get_model_arch(args.model)
@@ -106,11 +116,11 @@ def main():
         + arch.num_q_heads * arch.head_dim * arch.hidden_size
         + 3 * arch.hidden_size * arch.intermediate_size)
         + 2 * arch.vocab_size * arch.hidden_size) * dtype_bytes
-    kv_bytes = (args.batch * args.ctx * arch.num_kv_heads * arch.head_dim
+    kv_bytes = (concurrency * args.ctx * arch.num_kv_heads * arch.head_dim
                 * 2 * arch.num_layers * dtype_bytes)
     roofline_step = (param_bytes + kv_bytes) / HBM_BW
-    roofline_tps = args.batch / roofline_step
-    vs_baseline = tokens_per_s / roofline_tps
+    roofline_tps = concurrency / roofline_step if roofline_step else 1.0
+    vs_baseline = tokens_per_s / roofline_tps if roofline_tps else 0.0
 
     engine.cleanup()
     print(json.dumps({

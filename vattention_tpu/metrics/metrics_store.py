@@ -148,6 +148,9 @@ class MetricsStore:
     def on_batch_end(self, seq_metadata_list, scheduler_outputs) -> None:
         # core counters are kept even when metric output is disabled
         self.num_preempted += len(scheduler_outputs.preempted_seq_ids)
+        for m in seq_metadata_list:
+            if not m.is_prompt:
+                self.num_decode_tokens += 1
         if not self.enabled:
             return
         now = time.monotonic()
@@ -175,7 +178,6 @@ class MetricsStore:
         self.num_processed_tokens += num_tokens
         for m in seq_metadata_list:
             if not m.is_prompt:
-                self.num_decode_tokens += 1
                 t = m.seq.state.last_token_generation_time
                 if t > 0:
                     self.tbt.add(t)
