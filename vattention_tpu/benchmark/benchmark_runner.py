@@ -28,7 +28,9 @@ class BenchmarkRunner:
                  generator_config: dict, *,
                  time_limit_s: Optional[float] = None,
                  warmup: bool = True,
-                 requests: Optional[List[Request]] = None):
+                 requests: Optional[List[Request]] = None,
+                 enable_profiling: bool = False,
+                 profiler_dir: str = "profiler_output"):
         self.engine = LLMEngine.from_engine_args(**engine_kwargs)
         self.generator = (None if requests is not None else
                           RequestGeneratorRegistry.get(
@@ -36,6 +38,8 @@ class BenchmarkRunner:
         self.requests = requests
         self.time_limit_s = time_limit_s or float("inf")
         self.warmup = warmup
+        self.enable_profiling = enable_profiling
+        self.profiler_dir = profiler_dir
         self.rng = np.random.default_rng(0)
 
     def _make_prompt(self, n: int) -> List[int]:
@@ -72,6 +76,9 @@ class BenchmarkRunner:
         base = time.monotonic()
         self._add_requests(requests, base)
         num_steps = 0
+        if self.enable_profiling:
+            # ref benchmark_runner.py:147-179 (torch.profiler session)
+            self.engine.worker.start_profiling(self.profiler_dir)
         t0 = time.monotonic()
         while self.engine.has_unfinished_requests():
             if time.monotonic() - t0 > self.time_limit_s:
@@ -80,6 +87,8 @@ class BenchmarkRunner:
                 break
             self.engine.step()
             num_steps += 1
+        if self.enable_profiling:
+            self.engine.worker.stop_profiling()
         store = self.engine.get_metric_store()
         summary = store.summary()
         summary["totals"]["num_steps"] = num_steps

@@ -58,6 +58,10 @@ def add_args(p: argparse.ArgumentParser):
     # metrics
     p.add_argument("--output-dir", default="benchmark_output")
     p.add_argument("--enable-chrome-trace", action="store_true")
+    p.add_argument("--enable-profiling", action="store_true",
+                   help="jax.profiler trace around the run "
+                        "(ref torch.profiler sessions)")
+    p.add_argument("--profiler-dir", default="profiler_output")
     p.add_argument("--no-warmup", action="store_true")
     return p
 
@@ -109,7 +113,9 @@ def run_from_args(args) -> dict:
     )
     runner = BenchmarkRunner(
         engine_kwargs, args.request_generator_provider, generator_config,
-        time_limit_s=args.time_limit, warmup=not args.no_warmup)
+        time_limit_s=args.time_limit, warmup=not args.no_warmup,
+        enable_profiling=args.enable_profiling,
+        profiler_dir=args.profiler_dir)
     summary = runner.run()
     print(json.dumps(summary["totals"], indent=2))
     return summary

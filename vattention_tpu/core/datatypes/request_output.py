@@ -35,10 +35,14 @@ class RequestOutput:
             seq.prompt_token_ids,
             seq.output_text,
             # async execution: expose only host-materialized values (the
-            # tail may still hold in-flight placeholders)
+            # tail may still hold in-flight placeholders), and report
+            # finished only once every sampled value has landed -- a
+            # length-stop is decided at dispatch, 1-2 steps before the
+            # final token values arrive
             list(seq.get_resolved_output_token_ids()),
-            seq.is_finished(),
-            SequenceStatus.get_finished_reason(seq.get_status()),
+            seq.is_finished() and seq.num_pending_tokens == 0,
+            (SequenceStatus.get_finished_reason(seq.get_status())
+             if seq.num_pending_tokens == 0 else None),
         )
 
     def __repr__(self) -> str:

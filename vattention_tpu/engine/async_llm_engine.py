@@ -116,6 +116,18 @@ class AsyncLLMEngine:
         self._background_task = asyncio.get_event_loop().create_task(
             self.run_engine_loop())
 
+    def _ensure_background_loop(self) -> None:
+        """(Re)start the engine loop if it never ran, crashed, or belongs
+        to a different (closed) event loop."""
+        task = self._background_task
+        try:
+            stale = (task is None or task.done()
+                     or task.get_loop() is not asyncio.get_event_loop())
+        except RuntimeError:
+            stale = True
+        if stale:
+            self.start_background_loop()
+
     async def run_engine_loop(self) -> None:
         """ref :232-290 -- step offloaded to a thread executor so the
         event loop keeps serving HTTP while the TPU step runs."""
@@ -139,8 +151,7 @@ class AsyncLLMEngine:
         request_id: Optional[str] = None,
         prompt_token_ids: Optional[List[int]] = None,
     ) -> AsyncIterator[RequestOutput]:
-        if self._background_task is None:
-            self.start_background_loop()
+        self._ensure_background_loop()
         seq_id = request_id or str(next(self.seq_counter))
         stream = self.tracker.add_request(
             seq_id,

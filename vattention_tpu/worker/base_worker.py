@@ -10,6 +10,7 @@ from the benchmark launcher (one engine per replica).
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -197,6 +198,22 @@ class BaseWorker:
         """Free finished sequences' cache slots (after the engine has
         applied sampler outputs + stop checks)."""
         self.cache_engine.on_step_completion(seq_metadata_list)
+
+    # -- profiling (ref base_worker.py:222-247: torch.profiler -> chrome
+    # trace; here jax.profiler -> xplane/perfetto trace dir) ------------- #
+    def start_profiling(self, output_dir: str = "profiler_output") -> None:
+        import jax
+
+        os.makedirs(output_dir, exist_ok=True)
+        jax.profiler.start_trace(output_dir)
+        self._profiling_dir = output_dir
+
+    def stop_profiling(self) -> None:
+        import jax
+
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s",
+                    getattr(self, "_profiling_dir", "?"))
 
     def cleanup(self) -> None:
         if self.cache_engine is not None:
