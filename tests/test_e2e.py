@@ -144,3 +144,40 @@ def test_fp8_kv_cache_quality():
     fp8 = run("fp8")
     agree = sum(a == b for a, b in zip(base, fp8)) / len(base)
     assert agree >= 0.5, (base, fp8)
+
+
+def test_max_model_len_caps_generation():
+    """A request with a huge max_tokens must stop at max_model_len (the KV
+    slab is sized for max_model_len; decoding past it would overflow the
+    arena slot -- the failure mode of unbounded no_op/2MB-page runs)."""
+    from vattention_tpu.metrics.metrics_store import MetricsStore
+
+    MetricsStore._instance = None
+    engine = LLMEngine.from_engine_args(
+        model="tiny-llama-debug", attention_backend="fa_vattn",
+        scheduler_type="sarathi", max_model_len=256, max_batch_size=2,
+        max_num_seqs=2, chunk_size=128, gpu_memory_utilization=0.9)
+    toks = list(range(1, 101))
+    engine.add_request(
+        prompt=None, prompt_token_ids=toks,
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=10_000,
+                                       ignore_eos=True),
+        seq_id="cap")
+    done = None
+    steps = 0
+    while engine.has_unfinished_requests():
+        for o in engine.step():
+            if o.finished:
+                done = o
+        steps += 1
+        assert steps < 400, "request never finished at max_model_len"
+    assert done is not None
+    assert len(toks) + len(done.token_ids) == 256
+    # over-long prompts are rejected up front
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        engine.add_request(
+            prompt=None, prompt_token_ids=list(range(1, 300)),
+            sampling_params=SamplingParams(max_tokens=1), seq_id="toolong")
+    engine.cleanup()
+    MetricsStore._instance = None

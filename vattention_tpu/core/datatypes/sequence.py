@@ -24,6 +24,7 @@ class Sequence:
         eos_token_id: int,
         arrival_time: float,
         sampling_params: SamplingParams,
+        max_model_len: Optional[int] = None,
     ) -> None:
         self.seq_id = seq_id
         self.prompt = prompt
@@ -31,6 +32,7 @@ class Sequence:
         self.eos_token_id = eos_token_id
         self.arrival_time = arrival_time
         self.sampling_params = sampling_params
+        self.max_model_len = max_model_len
         self.prompt_token_ids = list(prompt_token_ids)
 
         self.output_token_ids: List[int] = []
@@ -123,6 +125,11 @@ class Sequence:
         """Length-based stop only — decidable at dispatch time, before the
         sampled values reach the host (async execution)."""
         if self.get_output_len() >= self.sampling_params.max_tokens:
+            self.set_status(SequenceStatus.FINISHED_LENGTH_CAPPED)
+        elif (self.max_model_len is not None
+                and self.get_len() >= self.max_model_len):
+            # hard context cap: the KV slab is sized for max_model_len
+            # tokens, so decoding past it would overflow the arena slot
             self.set_status(SequenceStatus.FINISHED_LENGTH_CAPPED)
 
     def truncate_and_finish(self, output_idx: int,

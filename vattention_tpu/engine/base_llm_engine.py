@@ -88,10 +88,16 @@ class BaseLLMEngine:
             seq_id = str(next(self.seq_counter))
         eos_token_id = (self.tokenizer.eos_token_id
                         if self.tokenizer is not None else -1)
+        max_len = self.config.model_config.max_model_len
+        if len(prompt_token_ids) >= max_len:
+            raise ValueError(
+                f"prompt of {len(prompt_token_ids)} tokens >= "
+                f"max_model_len {max_len}")
         seq = Sequence(
             seq_id, prompt, prompt_token_ids,
             self.config.cache_config.block_size, eos_token_id,
-            arrival_time, sampling_params)
+            arrival_time, sampling_params,
+            max_model_len=self.config.model_config.max_model_len)
         self.seq_manager.add_seq(seq)
         self.worker.add_seq(seq)
         self.scheduler.add_seq(seq)
