@@ -88,6 +88,7 @@ class VattnAttentionBackend:
                 window=self.sliding_window,
                 kv_fetch=self.wide_kv_fetch))
         if q.shape[0] > n_prefill_tokens:
+            Bd = q.shape[0] - n_prefill_tokens
             outs.append(flash_decode(
                 q[n_prefill_tokens:], kv_cache,
                 inputs.dec_seg_row, inputs.dec_seg_cum, inputs.dec_seqlens,
@@ -95,5 +96,16 @@ class VattnAttentionBackend:
                 kv_tile=self.wide_kv_tile, num_segments=self.num_segments,
                 sm_scale=sm_scale, max_kv_tiles=self.wide_max_kv_tiles,
                 window=self.sliding_window,
-                kv_fetch=self.wide_kv_fetch))
+                kv_fetch=self.wide_kv_fetch,
+                seq_tile=self.decode_seq_tile(Bd)))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    @staticmethod
+    def decode_seq_tile(batch: int) -> int:
+        """Sequences per decode grid step: amortizes the ~2-3us fixed
+        per-step cost (DMA issue + semaphores + scalar index maps) over
+        several sequences' KV streams."""
+        for st in (8, 4, 2):
+            if batch % st == 0:
+                return st
+        return 1

@@ -9,9 +9,12 @@ extent tables resolved in BlockSpec index_maps (scalar prefetch); the
 Pallas pipeline double-buffers KV tile DMAs and elides fetches for tiles
 beyond a sequence's length (clamped index trick).
 
-Decode is HBM-bandwidth-bound: each KV row is read exactly once per step,
-and whole-head tiles ([kv_tile, Hkv, D], row-major) make each DMA one
-contiguous stream.
+Decode is HBM-bandwidth-bound, and on TPU the limiter is the ~2-3us fixed
+cost of every grid step (DMA issue + semaphores + scalar index maps), not
+the streams themselves (which run at full HBM rate).  So the kernel
+processes ``seq_tile`` sequences per grid step -- their KV tiles are
+independent DMA buffers issued together -- amortizing the fixed cost over
+seq_tile x kv_tile rows per step.
 """
 
 from __future__ import annotations
@@ -31,18 +34,21 @@ def _decode_kernel(
     # scalar prefetch
     seg_row_ref, seg_cum_ref, seqlens_ref, dinfo_ref,
     # blocks
-    q_ref, k_refs, v_refs, out_ref,
+    q_ref, kv_refs, out_ref,
     # scratch
     m_ref, l_ref, acc_ref,
-    *, kv_tile: int, num_segments: int, sm_scale: float,
-    window: int | None = None,
+    *, kv_tile: int, kv_fetch: int, seq_tile: int, num_segments: int,
+    sm_scale: float, window: int | None = None,
 ):
-    if not isinstance(k_refs, (tuple, list)):
-        k_refs, v_refs = (k_refs,), (v_refs,)
-    b = pl.program_id(0)
+    g = pl.program_id(0)
     kt = pl.program_id(1)
-    kv_len = seqlens_ref[b]
-    n_tiles = pl.cdiv(kv_len, kv_tile)  # 0 when inactive
+    bs = seq_tile
+    # group runs to the longest member's tile count; shorter members'
+    # contributions are masked to zero past their own length
+    n_tiles = pl.cdiv(seqlens_ref[g * bs], kv_tile)
+    for j in range(1, bs):
+        n_tiles = jnp.maximum(
+            n_tiles, pl.cdiv(seqlens_ref[g * bs + j], kv_tile))
 
     @pl.when(kt == 0)
     def _init():
@@ -53,56 +59,72 @@ def _decode_kernel(
 
     @pl.when(kt < n_tiles)
     def _compute():
-        Hq, D = q_ref.shape
-        Hkv = k_refs[0].shape[0]
+        bs_, Hq, D = q_ref.shape
+        Hkv = kv_refs[0].shape[0]
+        sub = kv_refs[0].shape[1]
         G = Hq // Hkv
-        q = q_ref[...].reshape(Hkv, G, D)
-        k = (k_refs[0][...] if len(k_refs) == 1 else
-             jnp.concatenate([r[...] for r in k_refs], axis=1))
-        # compute-dtype matmul (bf16 MXU, f32 accumulate); fp8 upcasts
-        if k.dtype != q.dtype:
-            k = k.astype(q.dtype)
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [Hkv, G, kv_tile]
-        s = s * sm_scale
-        kv_pos = kt * kv_tile + jax.lax.broadcasted_iota(
-            jnp.int32, (G, kv_tile), 1)
-        valid = kv_pos < kv_len
-        if window is not None:
-            valid = jnp.logical_and(valid, kv_pos >= kv_len - window)
-        s = jnp.where(valid[None], s, MASK_VALUE)
+        def member(j, kv_len):
+            q = q_ref[j].reshape(Hkv, G, D)
+            m = m_ref[j]      # [Hkv, G]
+            l = l_ref[j]
+            acc = acc_ref[j]  # [Hkv, G, D]
+            for i in range(kv_fetch):
+                k = kv_refs[(2 * j) * kv_fetch + i][...]
+                v = kv_refs[(2 * j + 1) * kv_fetch + i][...]
+                # compute-dtype matmuls (bf16 MXU, f32 accumulate); fp8
+                # arena upcasts
+                if k.dtype != q.dtype:
+                    k = k.astype(q.dtype)
+                s = jax.lax.dot_general(
+                    q, k,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [Hkv, G, sub]
+                s = s * sm_scale
+                kv_pos = (kt * kv_tile + i * sub
+                          + jax.lax.broadcasted_iota(jnp.int32, (G, sub),
+                                                     1))
+                valid = kv_pos < kv_len
+                if window is not None:
+                    valid = jnp.logical_and(valid,
+                                            kv_pos >= kv_len - window)
+                s = jnp.where(valid[None], s, MASK_VALUE)
 
-        m_prev = m_ref[...]  # [Hkv, G]
-        m_cur = jnp.max(s, axis=-1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new[..., None])
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1)
-        v = (v_refs[0][...] if len(v_refs) == 1 else
-             jnp.concatenate([r[...] for r in v_refs], axis=1))
-        if v.dtype != q_ref.dtype:
-            v = v.astype(q_ref.dtype)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [Hkv, G, D]
-        acc_ref[...] = acc_ref[...] * alpha[..., None] + pv
-        m_ref[...] = m_new
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+                p = jnp.exp(s - m_new[..., None])
+                alpha = jnp.exp(m - m_new)
+                l = l * alpha + jnp.sum(p, axis=-1)
+                if v.dtype != q_ref.dtype:
+                    v = v.astype(q_ref.dtype)
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [Hkv, G, D]
+                acc = acc * alpha[..., None] + pv
+                m = m_new
+            m_ref[j] = m
+            l_ref[j] = l
+            acc_ref[j] = acc
+
+        for j in range(bs):
+            kv_len = seqlens_ref[g * bs + j]
+            # guard per member: a fully-masked tile would contribute
+            # p=exp(MASK-MASK)=1 garbage (inactive slots, short members
+            # of a group running to the longest member's tile count)
+            pl.when(kt < pl.cdiv(kv_len, kv_tile))(
+                functools.partial(member, j, kv_len))
 
         @pl.when(kt == n_tiles - 1)
         def _finish():
-            l = l_ref[...]
+            l = l_ref[...]                       # [bs, Hkv, G]
             l = jnp.where(l == 0.0, 1.0, l)
-            o = acc_ref[...] / l[..., None]  # [Hkv, G, D]
-            out_ref[...] = o.reshape(Hq, D).astype(out_ref.dtype)
+            o = acc_ref[...] / l[..., None]      # [bs, Hkv, G, D]
+            out_ref[...] = o.reshape(bs, Hq, D).astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("kv_tile", "num_segments", "sm_scale",
-                     "max_kv_tiles", "window", "kv_fetch"))
+                     "max_kv_tiles", "window", "kv_fetch", "seq_tile"))
 def flash_decode(
     q: jax.Array,            # [B, Hq, D]
     kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
@@ -117,12 +139,17 @@ def flash_decode(
     max_kv_tiles: int | None = None,
     window: int | None = None,
     kv_fetch: int = 1,
+    seq_tile: int = 1,
 ) -> jax.Array:
     """``kv_fetch`` splits the compute tile into block-aligned sub-tile
-    DMAs (see flash_prefill) so wide tiles work on small-page arenas."""
+    DMAs (see flash_prefill) so wide tiles work on small-page arenas;
+    ``seq_tile`` groups that many sequences into one grid step (B must be
+    a multiple) to amortize per-step fixed costs."""
     B, Hq, D = q.shape
     L, _, Hkv, R, _ = kv_cache.shape
     assert kv_tile % kv_fetch == 0
+    assert B % seq_tile == 0, (B, seq_tile)
+    bs = seq_tile
     sub = kv_tile // kv_fetch
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
@@ -130,8 +157,9 @@ def flash_decode(
         max_kv_tiles = cdiv(R, kv_tile)
     G = Hq // Hkv
 
-    def kv_index_map(b, kt, seg_row_ref, seg_cum_ref, seqlens_ref,
-                     dinfo_ref, kv01, part):
+    def kv_index_map(g, kt, seg_row_ref, seg_cum_ref, seqlens_ref,
+                     dinfo_ref, j, kv01, part):
+        b = g * bs + j
         layer = dinfo_ref[0]
         n_tiles = pl.cdiv(seqlens_ref[b], kv_tile)
         t_eff = jnp.clip(kt, 0, jnp.maximum(n_tiles - 1, 0))
@@ -139,36 +167,37 @@ def flash_decode(
                              seg_cum_ref, num_segments, prefix=(b,))
         return (layer, kv01, 0, row // sub, 0)
 
+    # buffer order per seq j: kv_fetch K parts, then kv_fetch V parts
     kv_specs = [
         pl.BlockSpec((None, None, Hkv, sub, D),
-                     functools.partial(kv_index_map, kv01=kv01, part=p))
-        for kv01 in (0, 1) for p in range(kv_fetch)
+                     functools.partial(kv_index_map, j=j, kv01=kv01,
+                                       part=p))
+        for j in range(bs) for kv01 in (0, 1) for p in range(kv_fetch)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B, max_kv_tiles),
+        grid=(B // bs, max_kv_tiles),
         in_specs=[
-            pl.BlockSpec((None, Hq, D), lambda b, kt, *_: (b, 0, 0)),
+            pl.BlockSpec((bs, Hq, D), lambda g, kt, *_: (g, 0, 0)),
             *kv_specs,
         ],
-        out_specs=pl.BlockSpec((None, Hq, D), lambda b, kt, *_: (b, 0, 0)),
+        out_specs=pl.BlockSpec((bs, Hq, D), lambda g, kt, *_: (g, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Hkv, G), jnp.float32),      # m
-            pltpu.VMEM((Hkv, G), jnp.float32),      # l
-            pltpu.VMEM((Hkv, G, D), jnp.float32),   # acc
+            pltpu.VMEM((bs, Hkv, G), jnp.float32),      # m
+            pltpu.VMEM((bs, Hkv, G), jnp.float32),      # l
+            pltpu.VMEM((bs, Hkv, G, D), jnp.float32),   # acc
         ],
     )
 
     def kernel(seg_row_ref, seg_cum_ref, seqlens_ref, dinfo_ref, q_ref,
                *rest):
-        kv_refs, (out_ref, m_ref, l_ref, acc_ref) = \
-            rest[:2 * kv_fetch], rest[2 * kv_fetch:]
+        n_kv = 2 * kv_fetch * bs
+        kv_refs, (out_ref, m_ref, l_ref, acc_ref) = rest[:n_kv], rest[n_kv:]
         _decode_kernel(seg_row_ref, seg_cum_ref, seqlens_ref, dinfo_ref,
-                       q_ref, tuple(kv_refs[:kv_fetch]),
-                       tuple(kv_refs[kv_fetch:]), out_ref, m_ref, l_ref,
-                       acc_ref, kv_tile=kv_tile,
-                       num_segments=num_segments, sm_scale=sm_scale,
-                       window=window)
+                       q_ref, tuple(kv_refs), out_ref, m_ref, l_ref,
+                       acc_ref, kv_tile=kv_tile, kv_fetch=kv_fetch,
+                       seq_tile=bs, num_segments=num_segments,
+                       sm_scale=sm_scale, window=window)
 
     return pl.pallas_call(
         kernel,
@@ -176,4 +205,4 @@ def flash_decode(
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
         interpret=interpret_mode(),
     )(seg_row, seg_cum, seqlens, dinfo, q,
-      *([kv_cache] * (2 * kv_fetch)))
+      *([kv_cache] * (2 * kv_fetch * bs)))
