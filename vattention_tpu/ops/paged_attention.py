@@ -133,26 +133,26 @@ def paged_flash_decode(
         num_scalar_prefetch=3,
         grid=(B, max_kv_tiles),
         in_specs=[
-            pl.BlockSpec((None, Hq, D), lambda b, kt, *_: (b, 0, 0)),
+            pl.BlockSpec((1, Hq, D), lambda b, kt, *_: (b, 0, 0)),
             pl.BlockSpec((None, None, Hkv, kv_tile, D),
                          functools.partial(kv_index_map, kv01=0)),
             pl.BlockSpec((None, None, Hkv, kv_tile, D),
                          functools.partial(kv_index_map, kv01=1)),
         ],
-        out_specs=pl.BlockSpec((None, Hq, D), lambda b, kt, *_: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hq, D), lambda b, kt, *_: (b, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Hkv, G), jnp.float32),
-            pltpu.VMEM((Hkv, G), jnp.float32),
-            pltpu.VMEM((Hkv, G, D), jnp.float32),
+            pltpu.VMEM((1, Hkv, G), jnp.float32),
+            pltpu.VMEM((1, Hkv, G), jnp.float32),
+            pltpu.VMEM((1, Hkv, G, D), jnp.float32),
         ],
     )
 
     def kernel(table_ref, seqlens_ref, dinfo_ref, q_ref, k_ref, v_ref,
                out_ref, m_ref, l_ref, acc_ref):
         _decode_kernel(table_ref, table_ref, seqlens_ref, dinfo_ref,
-                       q_ref, k_ref, v_ref, out_ref, m_ref, l_ref,
-                       acc_ref, kv_tile=kv_tile, num_segments=0,
-                       sm_scale=sm_scale)
+                       q_ref, (k_ref, v_ref), out_ref, m_ref, l_ref,
+                       acc_ref, kv_tile=kv_tile, kv_fetch=1, seq_tile=1,
+                       num_segments=0, sm_scale=sm_scale)
 
     return pl.pallas_call(
         kernel,
