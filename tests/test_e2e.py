@@ -181,3 +181,37 @@ def test_max_model_len_caps_generation():
             sampling_params=SamplingParams(max_tokens=1), seq_id="toolong")
     engine.cleanup()
     MetricsStore._instance = None
+
+def test_no_op_backend_dispatch():
+    """ADVICE r1: attention_backend='no_op' must actually instantiate
+    NoOpAttentionBackend (not silently run the vattn path) so profiling
+    runs exclude attention."""
+    from vattention_tpu.model_executor.attention.no_op_backend import (
+        NoOpAttentionBackend)
+
+    engine = LLMEngine.from_engine_args(
+        model="tiny-llama-debug", dtype="float32",
+        attention_backend="no_op", scheduler_type="sarathi",
+        max_model_len=1024, max_batch_size=2, max_num_seqs=2,
+        chunk_size=128, gpu_memory_utilization=0.9,
+    )
+    runner = engine.worker.model_runner
+    assert isinstance(runner.backend, NoOpAttentionBackend)
+    # snapshot to host: the device buffer itself is donated every step
+    kv_before = np.asarray(runner.cache_engine.kv_cache)
+    engine.add_request(
+        prompt=None, prompt_token_ids=list(range(1, 65)),
+        sampling_params=SamplingParams(
+            temperature=0.0, max_tokens=2, ignore_eos=True),
+        seq_id="n0")
+    steps = 0
+    while engine.has_unfinished_requests():
+        engine.step()
+        steps += 1
+        assert steps < 50
+    # the no_op path must leave the arena untouched
+    np.testing.assert_array_equal(
+        np.asarray(runner.cache_engine.kv_cache), kv_before)
+    engine.cleanup()
+    from vattention_tpu.metrics.metrics_store import MetricsStore
+    MetricsStore._instance = None

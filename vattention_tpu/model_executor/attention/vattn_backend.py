@@ -97,15 +97,23 @@ class VattnAttentionBackend:
                 sm_scale=sm_scale, max_kv_tiles=self.wide_max_kv_tiles,
                 window=self.sliding_window,
                 kv_fetch=self.wide_kv_fetch,
-                seq_tile=self.decode_seq_tile(Bd)))
+                seq_tile=self.decode_seq_tile(
+                    Bd, kv_cache.shape[2], kv_cache.shape[4],
+                    jnp.dtype(kv_cache.dtype).itemsize)))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    @staticmethod
-    def decode_seq_tile(batch: int) -> int:
+    def decode_seq_tile(self, batch: int, n_kv_heads: int, head_dim: int,
+                        kv_itemsize: int) -> int:
         """Sequences per decode grid step: amortizes the ~2-3us fixed
         per-step cost (DMA issue + semaphores + scalar index maps) over
-        several sequences' KV streams."""
+        several sequences' KV streams -- capped so the double-buffered KV
+        block buffers stay inside the scoped-VMEM budget."""
+        # bytes of KV block buffers per grid step per sequence, x2 for the
+        # pipeline's double buffering
+        per_seq = (2 * 2 * self.wide_kv_tile * n_kv_heads * head_dim
+                   * kv_itemsize)
+        budget = 48 * 2**20
         for st in (8, 4, 2):
-            if batch % st == 0:
+            if batch % st == 0 and st * per_seq <= budget:
                 return st
         return 1

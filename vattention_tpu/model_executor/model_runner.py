@@ -109,7 +109,13 @@ class ModelRunner:
 
         self.is_pod = AttentionBackend.is_pod(
             config.model_config.attention_backend)
-        if cache_engine.kind == "vattn" and self.is_pod:
+        if AttentionBackend.is_no_op(config.model_config.attention_backend):
+            from vattention_tpu.model_executor.attention.no_op_backend \
+                import NoOpAttentionBackend
+
+            assert not self.is_pod, "no_op cannot be combined with pod"
+            self.backend = NoOpAttentionBackend()
+        elif cache_engine.kind == "vattn" and self.is_pod:
             from vattention_tpu.model_executor.attention.pod_backend \
                 import PodAttentionBackend
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vattention_tpu.ops.utils import interpret_mode
+from vattention_tpu.ops.utils import interpret_mode, tpu_params
 
 
 def _copy_kernel(src_ref, dst_ref, n_ref, cache_ref, out_ref, scratch, sem,
@@ -81,6 +81,6 @@ def apply_relocations(
         ),
         out_shape=jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
         input_output_aliases={3: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=tpu_params(has_side_effects=True),
         interpret=interpret_mode(),
     )(src_blocks, dst_blocks, n_moves, kv_cache)

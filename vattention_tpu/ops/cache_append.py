@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vattention_tpu.ops.utils import interpret_mode
+from vattention_tpu.ops.utils import interpret_mode, tpu_params
 
 
 WINDOW = 32  # aligned row window (covers f32/bf16/fp8 sublane tiles)
@@ -105,7 +105,7 @@ def cache_append_tokens(
         ),
         out_shape=jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
         input_output_aliases={4: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=tpu_params(has_side_effects=True),
         interpret=interpret_mode(),
     )(rows, linfo, k_new, v_new, kv_cache)
 
@@ -200,7 +200,7 @@ def cache_append_run(
         ),
         out_shape=jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
         input_output_aliases={4: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=tpu_params(has_side_effects=True),
         interpret=interpret_mode(),
     )(runinfo, linfo, k_padded, v_padded, kv_cache)
 

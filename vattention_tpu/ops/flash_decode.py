@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, interpret_mode,
-                                      seg_row_lookup)
+                                      seg_row_lookup, tpu_params)
 
 
 def _decode_kernel(
@@ -203,6 +203,7 @@ def flash_decode(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        compiler_params=tpu_params(("parallel", "arbitrary")),
         interpret=interpret_mode(),
     )(seg_row, seg_cum, seqlens, dinfo, q,
       *([kv_cache] * (2 * kv_fetch * bs)))

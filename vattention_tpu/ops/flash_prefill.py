@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, interpret_mode,
-                                      seg_row_lookup)
+                                      seg_row_lookup, tpu_params)
 
 
 def _prefill_kernel(
@@ -234,8 +234,7 @@ def flash_prefill(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q_blk.shape, q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        compiler_params=tpu_params(("parallel", "parallel", "arbitrary")),
         interpret=interpret_mode(),
     )(seg_row, seg_cum, qinfo, q_blk,
       *([kv_cache] * (2 * kv_fetch)))

@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vattention_tpu.ops.flash_decode import _decode_kernel
 from vattention_tpu.ops.flash_prefill import _prefill_kernel
-from vattention_tpu.ops.utils import cdiv, interpret_mode
+from vattention_tpu.ops.utils import cdiv, interpret_mode, tpu_params
 
 
 @functools.partial(
@@ -93,8 +93,7 @@ def paged_flash_prefill(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q_blk.shape, q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        compiler_params=tpu_params(("parallel", "parallel", "arbitrary")),
         interpret=interpret_mode(),
     )(block_table, qinfo, q_blk, kv_cache, kv_cache)
     return out.reshape(Tq, Hq, D)
@@ -158,5 +157,6 @@ def paged_flash_decode(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        compiler_params=tpu_params(("parallel", "arbitrary")),
         interpret=interpret_mode(),
     )(block_table, seqlens, dinfo, q, kv_cache, kv_cache)

@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, interpret_mode,
-                                      seg_row_lookup)
+                                      seg_row_lookup, tpu_params)
 
 
 def build_pod_schedule(
@@ -309,6 +309,7 @@ def pod_fused_attention(
             jax.ShapeDtypeStruct((Hkv, G, Tq, D), q_prefill.dtype),
             jax.ShapeDtypeStruct((B, Hq, D), q_decode.dtype),
         ),
+        compiler_params=tpu_params(),
         interpret=interpret_mode(),
     )(sched, pre_seg_row, pre_seg_cum, qinfo, dec_seg_row, dec_seg_cum,
       dec_seqlens, qp_hm, q_decode, kv_cache, kv_cache)

@@ -7,8 +7,22 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+# Mosaic's default scoped-VMEM limit is 16MB; v5e has 128MB of VMEM.  The
+# wide-tile decode path (seq_tile x kv_fetch block buffers, double-buffered
+# by the pipeline) legitimately wants more than 16MB, so raise the limit
+# and leave headroom for the compiler's own scratch.
+VMEM_LIMIT_BYTES = 100 * 2**20
+
+
+def tpu_params(dimension_semantics=None, **kw) -> pltpu.CompilerParams:
+    """CompilerParams with the raised scoped-VMEM limit applied."""
+    return pltpu.CompilerParams(
+        dimension_semantics=dimension_semantics,
+        vmem_limit_bytes=VMEM_LIMIT_BYTES, **kw)
 
 
 @functools.cache
