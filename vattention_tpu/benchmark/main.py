@@ -102,7 +102,10 @@ def run_from_args(args) -> dict:
         num_requests=args.num_requests,
         prefill_tokens=args.prefill_tokens,
         decode_tokens=args.decode_tokens,
-        min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+        min_tokens=args.min_tokens,
+        # generated/replayed lengths must fit the engine's context window
+        # (traces are clamped, ref trace_request_length_generator.py)
+        max_tokens=min(args.max_tokens, args.max_model_len),
         qps=args.qps, cv=args.cv, theta=args.zipf_theta,
         trace_file=args.trace_file,
         prefill_scale_factor=args.prefill_scale_factor,

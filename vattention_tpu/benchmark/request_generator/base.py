@@ -202,12 +202,14 @@ class TraceReplayRequestGenerator:
         self.config = config
         self.rows: List[Request] = []
         time_scale = config.get("time_scale_factor", 1.0)
+        max_tokens = config.get("max_tokens") or (1 << 30)
         with open(config["trace_file"]) as f:
             for row in csv.DictReader(f):
+                p = min(int(row["num_prefill_tokens"]), max_tokens - 1)
+                d = min(int(row["num_decode_tokens"]), max_tokens - p)
                 self.rows.append(Request(
                     float(row.get("arrival_time", 0.0)) * time_scale,
-                    int(row["num_prefill_tokens"]),
-                    int(row["num_decode_tokens"])))
+                    p, max(1, d)))
         if config.get("num_requests"):
             self.rows = self.rows[:config["num_requests"]]
 
