@@ -25,7 +25,7 @@ def _run_engine(async_mode: bool, max_inflight: int = 2,
     engine = LLMEngine.from_engine_args(
         model="tiny-llama-debug", dtype="float32",
         attention_backend="fa_vattn", scheduler_type="sarathi",
-        max_model_len=2048, max_batch_size=4, max_num_seqs=4,
+        max_model_len=512, max_batch_size=4, max_num_seqs=4,
         chunk_size=128, gpu_memory_utilization=0.9,
         enable_async_execution=async_mode,
         max_inflight_steps=max_inflight)
@@ -66,7 +66,7 @@ def test_outputs_expose_only_resolved_tokens():
     engine = LLMEngine.from_engine_args(
         model="tiny-llama-debug", dtype="float32",
         attention_backend="fa_vattn", scheduler_type="sarathi",
-        max_model_len=1024, max_batch_size=2, max_num_seqs=2,
+        max_model_len=512, max_batch_size=2, max_num_seqs=2,
         chunk_size=128, enable_async_execution=True)
     toks = np.random.default_rng(3).integers(1, 2000, 100).tolist()
     engine.add_request(prompt=None, prompt_token_ids=toks,

@@ -67,7 +67,7 @@ def test_engine_matches_dense_reference(backend, scheduler, chunk):
         dtype="float32",          # exact match at f32
         attention_backend=backend,
         scheduler_type=scheduler,
-        max_model_len=2048,
+        max_model_len=512,
         max_batch_size=4,
         max_num_seqs=4,
         chunk_size=chunk,
@@ -119,7 +119,7 @@ def test_fp8_kv_cache_quality():
         engine = LLMEngine.from_engine_args(
             model="tiny-llama-debug", dtype="float32",
             attention_backend="fa_vattn", scheduler_type="sarathi",
-            max_model_len=1024, max_batch_size=4, max_num_seqs=4,
+            max_model_len=512, max_batch_size=4, max_num_seqs=4,
             chunk_size=128, gpu_memory_utilization=0.9,
             kv_quant=kv_quant)
         rng = np.random.default_rng(11)
@@ -192,7 +192,7 @@ def test_no_op_backend_dispatch():
     engine = LLMEngine.from_engine_args(
         model="tiny-llama-debug", dtype="float32",
         attention_backend="no_op", scheduler_type="sarathi",
-        max_model_len=1024, max_batch_size=2, max_num_seqs=2,
+        max_model_len=512, max_batch_size=2, max_num_seqs=2,
         chunk_size=128, gpu_memory_utilization=0.9,
     )
     runner = engine.worker.model_runner

@@ -123,14 +123,26 @@ def test_cache_append_tokens_matches_scatter():
     T = 16
     k_new = jnp.asarray(rng.standard_normal((T, HKV, D)), dtype=jnp.float32)
     v_new = jnp.asarray(rng.standard_normal((T, HKV, D)), dtype=jnp.float32)
+    # batched mode contract: every valid row in a distinct 32-row window
+    # (the decode invariant -- one token per slot, block-aligned extents)
     rows = np.full(T, -1, np.int32)
-    rows[:8] = np.arange(100, 108)
-    rows[8:12] = [700, 300, 1500, 42]
+    rows[:8] = np.arange(100, 100 + 8 * 64, 64)
+    rows[8:12] = [700, 1200, 1500, 42]
     rows = jnp.asarray(rows)
     expect = cache_append_jnp(cache, k_new, v_new, rows, 1)
     got = cache_append_tokens(cache.copy(), k_new, v_new, rows,
                               jnp.ones(1, jnp.int32))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+    # serialize mode handles window-sharing rows (sub-WINDOW block sizes)
+    rows2 = np.full(T, -1, np.int32)
+    rows2[:8] = np.arange(100, 108)
+    rows2[8:12] = [700, 300, 1500, 42]
+    rows2 = jnp.asarray(rows2)
+    expect2 = cache_append_jnp(cache, k_new, v_new, rows2, 1)
+    got2 = cache_append_tokens(cache.copy(), k_new, v_new, rows2,
+                               jnp.ones(1, jnp.int32), serialize=True)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(expect2))
 
 
 def test_cache_append_run_matches_scatter():

@@ -22,7 +22,7 @@ def engine():
     eng = AsyncLLMEngine.from_engine_args(
         model="tiny-llama-debug", dtype="float32",
         attention_backend="fa_vattn", scheduler_type="sarathi",
-        max_model_len=1024, max_batch_size=4, max_num_seqs=4,
+        max_model_len=512, max_batch_size=4, max_num_seqs=4,
         chunk_size=128)
     yield eng
     eng.engine.cleanup()

@@ -144,7 +144,7 @@ def test_pp_engine_matches_single_engine():
         engine = LLMEngine.from_engine_args(
             model="tiny-llama-debug", dtype="float32",
             attention_backend="fa_vattn", scheduler_type="sarathi",
-            max_model_len=1024, max_batch_size=4, max_num_seqs=4,
+            max_model_len=512, max_batch_size=4, max_num_seqs=4,
             chunk_size=128, gpu_memory_utilization=0.9,
             pipeline_parallel_size=pp, tensor_parallel_size=tp)
         rng = np.random.default_rng(3)

@@ -23,6 +23,9 @@ class PagedAttentionBackend:
         self.q_tile = q_tile
         self.block_size = block_size
         self.max_kv_tiles = cdiv(max_context_len, block_size)
+        # sub-WINDOW blocks let different seqs' decode rows share a
+        # 32-row RMW window -> the batched append must serialize
+        self.append_serialize = block_size % WINDOW != 0
 
     def append_kv(self, kv_cache, k, v, inputs: StepInputs, layer_idx,
                   n_prefill_tokens: int = 0):
@@ -46,7 +49,8 @@ class PagedAttentionBackend:
         if k.shape[0] > n_prefill_tokens:
             kv_cache = cache_append_tokens(
                 kv_cache, k[n_prefill_tokens:], v[n_prefill_tokens:],
-                rows[n_prefill_tokens:], layer_idx.astype(jnp.int32))
+                rows[n_prefill_tokens:], layer_idx.astype(jnp.int32),
+                serialize=self.append_serialize)
         return kv_cache
 
     def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,

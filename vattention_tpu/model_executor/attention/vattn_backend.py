@@ -32,6 +32,9 @@ class VattnAttentionBackend:
         self.sliding_window = sliding_window
         self.scratch_row = (arena_rows if scratch_row is None
                             else scratch_row)
+        # sub-WINDOW blocks let different slots' decode rows share a
+        # 32-row RMW window -> the batched append must serialize
+        self.append_serialize = block_tokens % WINDOW != 0
         self.q_tile = q_tile
         self.kv_tile = kv_tile or select_kv_tile(block_tokens)
         # prefill wants 512-wide MXU tiles; when extents are only aligned
@@ -69,7 +72,8 @@ class VattnAttentionBackend:
         if k.shape[0] > n_prefill_tokens:
             kv_cache = cache_append_tokens(
                 kv_cache, k[n_prefill_tokens:], v[n_prefill_tokens:],
-                rows[n_prefill_tokens:], layer_idx.astype(jnp.int32))
+                rows[n_prefill_tokens:], layer_idx.astype(jnp.int32),
+                serialize=self.append_serialize)
         return kv_cache
 
     def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,

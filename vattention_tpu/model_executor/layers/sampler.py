@@ -23,22 +23,32 @@ def sample_tokens(
     temps = jnp.where(greedy, 1.0, temperatures)
     scaled = logits / temps[:, None]
 
-    # top-k mask: keep the k largest (ref sampler.py _apply_top_p_top_k)
-    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]  # descending
-    k = jnp.where(top_k <= 0, V, top_k)
-    kth = jnp.take_along_axis(
-        sorted_logits, jnp.clip(k[:, None] - 1, 0, V - 1), axis=-1)
-    scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    def filter_topk_topp(scaled):
+        # top-k mask: keep the k largest (ref sampler.py _apply_top_p_top_k)
+        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]  # descending
+        k = jnp.where(top_k <= 0, V, top_k)
+        kth = jnp.take_along_axis(
+            sorted_logits, jnp.clip(k[:, None] - 1, 0, V - 1), axis=-1)
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
 
-    # top-p (nucleus) mask over the sorted distribution
-    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(sorted_probs, axis=-1)
-    # keep tokens while cumulative prob (exclusive) < top_p
-    cutoff_mask = (cum - sorted_probs) < top_p[:, None]
-    # threshold logit: smallest kept logit
-    thresh = jnp.min(jnp.where(cutoff_mask, sorted_logits, jnp.inf),
-                     axis=-1, keepdims=True)
-    scaled = jnp.where(scaled < thresh, -jnp.inf, scaled)
+        # top-p (nucleus) mask over the sorted distribution
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(sorted_probs, axis=-1)
+        # keep tokens while cumulative prob (exclusive) < top_p
+        cutoff_mask = (cum - sorted_probs) < top_p[:, None]
+        # threshold logit: smallest kept logit
+        thresh = jnp.min(jnp.where(cutoff_mask, sorted_logits, jnp.inf),
+                         axis=-1, keepdims=True)
+        return jnp.where(scaled < thresh, -jnp.inf, scaled)
+
+    # the [B, V] sort is expensive on TPU; skip it at runtime unless some
+    # non-greedy sequence actually restricts top-k/top-p this step
+    need_filter = jnp.any(jnp.logical_and(
+        jnp.logical_not(greedy),
+        jnp.logical_or(jnp.logical_and(top_k > 0, top_k < V),
+                       top_p < 1.0)))
+    scaled = jax.lax.cond(need_filter, filter_topk_topp,
+                          lambda s: s, scaled)
 
     sampled = jax.random.categorical(rng, scaled, axis=-1)
     argmax = jnp.argmax(logits, axis=-1)

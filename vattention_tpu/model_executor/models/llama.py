@@ -148,7 +148,9 @@ class LlamaForCausalLM:
         hs = x[safe_idx]  # [B, H]
         head = (params["embed"].T if a.tie_word_embeddings
                 else params["lm_head"])
-        return hs.astype(jnp.float32) @ head.astype(jnp.float32)
+        # bf16 MXU matmul with f32 accumulation: casting the [H, V] head
+        # to f32 would add ~3x its bytes in HBM traffic every step
+        return jnp.dot(hs, head, preferred_element_type=jnp.float32)
 
     def forward(self, params, kv_cache, inputs: StepInputs, backend,
                 n_prefill_tokens: int):

@@ -28,9 +28,10 @@ from vattention_tpu.ops.utils import interpret_mode, tpu_params
 WINDOW = 32  # aligned row window (covers f32/bf16/fp8 sublane tiles)
 
 
-def _rmw_token_kernel(rows_ref, linfo_ref, k_ref, v_ref, cache_ref,
-                      out_ref, kbuf, vbuf, sem, *, rows_total: int):
-    """Per-token append via aligned-window read-modify-write.
+def _rmw_batch_kernel(rows_ref, linfo_ref, k_ref, v_ref, cache_ref,
+                      out_ref, kwin, vwin, ksem, vsem, *, rows_total: int,
+                      serialize: bool = False):
+    """Batched append via aligned-window read-modify-write.
 
     Mosaic rejects size-1 sublane DMA slices, and letting XLA scatter/DUS
     into the cache makes layout assignment pick a scatter-friendly tiling
@@ -38,59 +39,127 @@ def _rmw_token_kernel(rows_ref, linfo_ref, k_ref, v_ref, cache_ref,
     220ms/step on a 2GB arena).  Touching the cache ONLY through pallas
     keeps one layout; each token RMWs its aligned 32-row window (~4KB
     per token of extra traffic -- noise).
+
+    ONE grid step handles every token: all 2T window reads are issued as
+    concurrent DMAs, blended in VMEM, and written back concurrently --
+    DMA latency is paid once, not 4x per token (the per-token-grid-step
+    formulation cost ~90us/layer at B=24; this runs at DMA speed).
+    Window aliasing between tokens is impossible when block_tokens is a
+    multiple of WINDOW (slots own disjoint block-aligned extents and a
+    slot appends at most one token per step); for sub-WINDOW blocks the
+    caller sets ``serialize=True`` and each token's RMW completes before
+    the next begins (aliased windows then stay coherent).
     """
     del cache_ref  # aliased with out_ref
-    t = pl.program_id(0)
     layer = linfo_ref[0]
-    row = rows_ref[t]
+    T = kwin.shape[0]
 
-    @pl.when(row >= 0)
-    def _():
+    def base_off(t):
+        row = rows_ref[t]
         base = jnp.minimum((row // WINDOW) * WINDOW,
                            jnp.maximum(rows_total - WINDOW, 0))
-        base = pl.multiple_of(base, WINDOW)
-        off = row - base
-        kin = pltpu.make_async_copy(
-            out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :], kbuf, sem)
-        kin.start()
-        vin = pltpu.make_async_copy(
-            out_ref.at[layer, 1, :, pl.ds(base, WINDOW), :], vbuf, sem)
-        vin.start()
-        kin.wait()
-        vin.wait()
-        # masked whole-window select (dynamic single-sublane stores need
-        # alignment proofs Mosaic cannot make)
-        sel = jax.lax.broadcasted_iota(
-            jnp.int32, (1, WINDOW, 1), 1) == off
-        kbuf[...] = jnp.where(sel, k_ref[t][:, None, :].astype(kbuf.dtype),
-                              kbuf[...])
-        vbuf[...] = jnp.where(sel, v_ref[t][:, None, :].astype(vbuf.dtype),
-                              vbuf[...])
-        kout = pltpu.make_async_copy(
-            kbuf, out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :], sem)
-        kout.start()
-        vout = pltpu.make_async_copy(
-            vbuf, out_ref.at[layer, 1, :, pl.ds(base, WINDOW), :], sem)
-        vout.start()
-        kout.wait()
-        vout.wait()
+        return pl.multiple_of(base, WINDOW), row - base
+
+    if serialize:
+        for t in range(T):
+            @pl.when(rows_ref[t] >= 0)
+            def _(t=t):
+                base, off = base_off(t)
+                kin = pltpu.make_async_copy(
+                    out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :],
+                    kwin.at[t], ksem.at[t])
+                vin = pltpu.make_async_copy(
+                    out_ref.at[layer, 1, :, pl.ds(base, WINDOW), :],
+                    vwin.at[t], vsem.at[t])
+                kin.start(); vin.start(); kin.wait(); vin.wait()
+                sel = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, WINDOW, 1), 1) == off
+                kwin[t] = jnp.where(
+                    sel, k_ref[t][:, None, :].astype(kwin.dtype), kwin[t])
+                vwin[t] = jnp.where(
+                    sel, v_ref[t][:, None, :].astype(vwin.dtype), vwin[t])
+                kout = pltpu.make_async_copy(
+                    kwin.at[t],
+                    out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :],
+                    ksem.at[t])
+                vout = pltpu.make_async_copy(
+                    vwin.at[t],
+                    out_ref.at[layer, 1, :, pl.ds(base, WINDOW), :],
+                    vsem.at[t])
+                kout.start(); vout.start(); kout.wait(); vout.wait()
+        return
+
+    for t in range(T):
+        @pl.when(rows_ref[t] >= 0)
+        def _(t=t):
+            base, _ = base_off(t)
+            pltpu.make_async_copy(
+                out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :],
+                kwin.at[t], ksem.at[t]).start()
+            pltpu.make_async_copy(
+                out_ref.at[layer, 1, :, pl.ds(base, WINDOW), :],
+                vwin.at[t], vsem.at[t]).start()
+
+    for t in range(T):
+        @pl.when(rows_ref[t] >= 0)
+        def _(t=t):
+            base, off = base_off(t)
+            pltpu.make_async_copy(
+                out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :],
+                kwin.at[t], ksem.at[t]).wait()
+            pltpu.make_async_copy(
+                out_ref.at[layer, 1, :, pl.ds(base, WINDOW), :],
+                vwin.at[t], vsem.at[t]).wait()
+            # masked whole-window select (dynamic single-sublane stores
+            # need alignment proofs Mosaic cannot make)
+            sel = jax.lax.broadcasted_iota(
+                jnp.int32, (1, WINDOW, 1), 1) == off
+            kwin[t] = jnp.where(sel, k_ref[t][:, None, :].astype(kwin.dtype),
+                                kwin[t])
+            vwin[t] = jnp.where(sel, v_ref[t][:, None, :].astype(vwin.dtype),
+                                vwin[t])
+            pltpu.make_async_copy(
+                kwin.at[t],
+                out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :],
+                ksem.at[t]).start()
+            pltpu.make_async_copy(
+                vwin.at[t],
+                out_ref.at[layer, 1, :, pl.ds(base, WINDOW), :],
+                vsem.at[t]).start()
+
+    for t in range(T):
+        @pl.when(rows_ref[t] >= 0)
+        def _(t=t):
+            base, _ = base_off(t)
+            pltpu.make_async_copy(
+                kwin.at[t],
+                out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :],
+                ksem.at[t]).wait()
+            pltpu.make_async_copy(
+                vwin.at[t],
+                out_ref.at[layer, 1, :, pl.ds(base, WINDOW), :],
+                vsem.at[t]).wait()
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("serialize",))
 def cache_append_tokens(
     kv_cache: jax.Array,   # [L, 2, Hkv, R, D] (donated, updated in place)
     k_new: jax.Array,      # [T, Hkv, D]
     v_new: jax.Array,      # [T, Hkv, D]
     rows: jax.Array,       # [T] int32 destination arena row; -1 skips
     linfo: jax.Array,      # [1] int32: (layer,)
+    *,
+    serialize: bool = False,   # True when rows may share a 32-row window
 ) -> jax.Array:
     T, Hkv, D = k_new.shape
     R = kv_cache.shape[3]
     return pl.pallas_call(
-        functools.partial(_rmw_token_kernel, rows_total=R),
+        functools.partial(_rmw_batch_kernel, rows_total=R,
+                          serialize=serialize),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(T,),
+            grid=(1,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -98,9 +167,10 @@ def cache_append_tokens(
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((Hkv, WINDOW, D), kv_cache.dtype),
-                pltpu.VMEM((Hkv, WINDOW, D), kv_cache.dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((T, Hkv, WINDOW, D), kv_cache.dtype),
+                pltpu.VMEM((T, Hkv, WINDOW, D), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.SemaphoreType.DMA((T,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),

@@ -63,55 +63,65 @@ def _decode_kernel(
         Hkv = kv_refs[0].shape[0]
         sub = kv_refs[0].shape[1]
         G = Hq // Hkv
-        def member(j, kv_len):
-            q = q_ref[j].reshape(Hkv, G, D)
-            m = m_ref[j]      # [Hkv, G]
-            l = l_ref[j]
-            acc = acc_ref[j]  # [Hkv, G, D]
-            for i in range(kv_fetch):
-                k = kv_refs[(2 * j) * kv_fetch + i][...]
-                v = kv_refs[(2 * j + 1) * kv_fetch + i][...]
-                # compute-dtype matmuls (bf16 MXU, f32 accumulate); fp8
-                # arena upcasts
-                if k.dtype != q.dtype:
-                    k = k.astype(q.dtype)
-                s = jax.lax.dot_general(
-                    q, k,
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)  # [Hkv, G, sub]
-                s = s * sm_scale
-                kv_pos = (kt * kv_tile + i * sub
-                          + jax.lax.broadcasted_iota(jnp.int32, (G, sub),
-                                                     1))
-                valid = kv_pos < kv_len
+        # all members batched into single wide ops: per-member iterations
+        # issue tiny matmuls/VPU ops whose instruction overhead, not HBM
+        # bandwidth, would bound the kernel
+        q = q_ref[...].reshape(bs, Hkv, G, D)
+        m = m_ref[...]       # [bs, Hkv, G]
+        l = l_ref[...]
+        acc = acc_ref[...]   # [bs, Hkv, G, D]
+        for i in range(kv_fetch):
+            k = jnp.stack([kv_refs[(2 * j) * kv_fetch + i][...]
+                           for j in range(bs)])   # [bs, Hkv, sub, D]
+            v = jnp.stack([kv_refs[(2 * j + 1) * kv_fetch + i][...]
+                           for j in range(bs)])
+            # compute-dtype matmuls (bf16 MXU, f32 accumulate); fp8
+            # arena upcasts
+            if k.dtype != q.dtype:
+                k = k.astype(q.dtype)
+            # Mosaic's matmul takes ONE batch dim: fold (bs, Hkv)
+            s = jax.lax.dot_general(
+                q.reshape(bs * Hkv, G, D), k.reshape(bs * Hkv, sub, D),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(bs, Hkv, G, sub)
+            s = s * sm_scale
+            kv_pos = (kt * kv_tile + i * sub
+                      + jax.lax.broadcasted_iota(
+                          jnp.int32, (G, sub), 1))
+            # per-member masks from SMEM scalars (scalar broadcasts are
+            # free; broadcasting a 1-D [bs] vector into leading dims is a
+            # shape cast Mosaic cannot lay out)
+            member_valid = []
+            for j in range(bs):
+                kv_len = seqlens_ref[g * bs + j]
+                vj = kv_pos < kv_len
                 if window is not None:
-                    valid = jnp.logical_and(valid,
-                                            kv_pos >= kv_len - window)
-                s = jnp.where(valid[None], s, MASK_VALUE)
+                    vj = jnp.logical_and(vj, kv_pos >= kv_len - window)
+                member_valid.append(vj)
+            valid = jnp.stack(member_valid)[:, None]  # [bs, 1, G, sub]
+            s = jnp.where(valid, s, MASK_VALUE)
 
-                m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-                p = jnp.exp(s - m_new[..., None])
-                alpha = jnp.exp(m - m_new)
-                l = l * alpha + jnp.sum(p, axis=-1)
-                if v.dtype != q_ref.dtype:
-                    v = v.astype(q_ref.dtype)
-                pv = jax.lax.dot_general(
-                    p.astype(v.dtype), v,
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)  # [Hkv, G, D]
-                acc = acc * alpha[..., None] + pv
-                m = m_new
-            m_ref[j] = m
-            l_ref[j] = l
-            acc_ref[j] = acc
-
-        for j in range(bs):
-            kv_len = seqlens_ref[g * bs + j]
-            # guard per member: a fully-masked tile would contribute
-            # p=exp(MASK-MASK)=1 garbage (inactive slots, short members
-            # of a group running to the longest member's tile count)
-            pl.when(kt < pl.cdiv(kv_len, kv_tile))(
-                functools.partial(member, j, kv_len))
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+            # explicit zeroing handles fully-masked tiles (inactive slots,
+            # short members of a group running to the longest member's
+            # tile count): exp(MASK-MASK)=1 garbage must not accumulate
+            p = jnp.where(valid, jnp.exp(s - m_new[..., None]), 0.0)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1)
+            if v.dtype != q_ref.dtype:
+                v = v.astype(q_ref.dtype)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype).reshape(bs * Hkv, G, sub),
+                v.reshape(bs * Hkv, sub, D),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(bs, Hkv, G, D)
+            acc = acc * alpha[..., None] + pv
+            m = m_new
+        m_ref[...] = m
+        l_ref[...] = l
+        acc_ref[...] = acc
 
         @pl.when(kt == n_tiles - 1)
         def _finish():
