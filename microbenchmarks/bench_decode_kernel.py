@@ -36,6 +36,7 @@ def main():
     args = p.parse_args()
 
     from vattention_tpu.ops.flash_decode import flash_decode
+    from vattention_tpu.ops.utils import tile_rows_from_segments
 
     B, Hq, Hkv, D = args.batch, args.hq, args.hkv, args.head_dim
     L = args.layers
@@ -55,8 +56,6 @@ def main():
     for b in range(B):
         seg_row[b, 0] = b * ctx_pad
         seg_cum[b, 1:] = ctx_pad
-    seg_row = jnp.asarray(seg_row)
-    seg_cum = jnp.asarray(seg_cum)
     seqlens = jnp.full(B, ctx, jnp.int32)
     dinfo = jnp.zeros(1, jnp.int32)
 
@@ -65,24 +64,28 @@ def main():
           f"{L} calls: {L*kv_bytes/HBM_BW*1e3:.2f} ms")
 
     def make(kv_tile, kv_fetch, seq_tile):
+        n_tiles = -(-ctx_pad * 2 // kv_tile)
+        tile_rows = jnp.asarray(tile_rows_from_segments(
+            seg_row, seg_cum, kv_tile // kv_fetch, n_tiles * kv_fetch))
+
         @jax.jit
-        def many(q, kv, seg_row, seg_cum, seqlens, dinfo):
+        def many(q, kv, tile_rows, seqlens, dinfo):
             outs = q
             for i in range(L):
                 outs = flash_decode(
-                    outs, kv, seg_row, seg_cum, seqlens,
+                    outs, kv, tile_rows, seqlens,
                     dinfo + (i % Lc),
-                    kv_tile=kv_tile, num_segments=S,
-                    max_kv_tiles=-(-ctx_pad * 2 // kv_tile),
+                    kv_tile=kv_tile,
+                    max_kv_tiles=n_tiles,
                     kv_fetch=kv_fetch, seq_tile=seq_tile)
             return outs
-        return many
+        return many, tile_rows
 
-    def timed(many, N):
+    def timed(many, tile_rows, N):
         t0 = time.perf_counter()
         out = q
         for _ in range(N):
-            out = many(out, kv, seg_row, seg_cum, seqlens, dinfo)
+            out = many(out, kv, tile_rows, seqlens, dinfo)
         _ = np.asarray(out)
         return time.perf_counter() - t0
 
@@ -97,10 +100,10 @@ def main():
         if kv_tile // kv_fetch > args.block_tokens:
             continue  # sub-tile DMA must stay block-aligned
         try:
-            many = make(kv_tile, kv_fetch, seq_tile)
-            timed(many, 1)  # compile warm-up
-            t1 = min(timed(many, 2) for _ in range(4))
-            t2 = min(timed(many, 22) for _ in range(4))
+            many, tile_rows = make(kv_tile, kv_fetch, seq_tile)
+            timed(many, tile_rows, 1)  # compile warm-up
+            t1 = min(timed(many, tile_rows, 2) for _ in range(4))
+            t2 = min(timed(many, tile_rows, 22) for _ in range(4))
             per = (t2 - t1) / 20
             bw = L * kv_bytes / per
             print(f"{kv_tile:>8} {kv_fetch:>6} {seq_tile:>8} "

@@ -95,9 +95,12 @@ def test_flash_decode_matches_reference():
     for b in range(B):
         r, c = seg_tables(per_seq_extents[b])
         seg_row[b], seg_cum[b] = np.asarray(r), np.asarray(c)
-    out = flash_decode(q, cache, jnp.asarray(seg_row), jnp.asarray(seg_cum),
+    from vattention_tpu.ops.utils import tile_rows_from_segments
+
+    tile_rows = tile_rows_from_segments(seg_row, seg_cum, 256, 4)
+    out = flash_decode(q, cache, jnp.asarray(tile_rows),
                        jnp.asarray(seqlens), jnp.zeros(1, jnp.int32),
-                       kv_tile=256, num_segments=S, max_kv_tiles=4)
+                       kv_tile=256, max_kv_tiles=4)
     # reference: gather each seq's KV into [B, maxlen, HKV, D]
     maxlen = 512
     kg = np.zeros((B, maxlen, HKV, D), np.float32)
@@ -244,10 +247,14 @@ def test_pod_fused_matches_separate_kernels():
     ref_p = flash_prefill(qp, cache, pre_row, pre_cum, qinfo,
                           q_tile=128, kv_tile=256, num_segments=S,
                           max_kv_tiles=4)
-    ref_d = flash_decode(qd, cache, jnp.asarray(dec_row),
-                         jnp.asarray(dec_cum), jnp.asarray(dec_seqlens),
+    from vattention_tpu.ops.utils import tile_rows_from_segments
+
+    ref_d = flash_decode(qd, cache,
+                         jnp.asarray(tile_rows_from_segments(
+                             dec_row, dec_cum, 256, 4)),
+                         jnp.asarray(dec_seqlens),
                          jnp.ones(1, jnp.int32), kv_tile=256,
-                         num_segments=S, max_kv_tiles=4)
+                         max_kv_tiles=4)
     np.testing.assert_allclose(np.asarray(op), np.asarray(ref_p),
                                atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(od[:2]), np.asarray(ref_d[:2]),
@@ -293,11 +300,16 @@ def test_sliding_window_attention():
     B = 2
     qd = jnp.asarray(rng.standard_normal((B, HQ, D)), dtype=jnp.float32)
     seqlens = jnp.asarray([500, 120], jnp.int32)
-    seg_row_b = jnp.tile(np.asarray(seg_row)[None], (B, 1))
-    seg_cum_b = jnp.tile(np.asarray(seg_cum)[None], (B, 1))
-    outd = flash_decode(qd, cache, seg_row_b, seg_cum_b, seqlens,
+    from vattention_tpu.ops.utils import tile_rows_from_segments
+
+    seg_row_b = np.tile(np.asarray(seg_row)[None], (B, 1))
+    seg_cum_b = np.tile(np.asarray(seg_cum)[None], (B, 1))
+    outd = flash_decode(qd, cache,
+                        jnp.asarray(tile_rows_from_segments(
+                            seg_row_b, seg_cum_b, 256, 4)),
+                        seqlens,
                         jnp.zeros(1, jnp.int32), kv_tile=256,
-                        num_segments=S, max_kv_tiles=4, window=window)
+                        max_kv_tiles=4, window=window)
     for b in range(B):
         n = int(seqlens[b])
         lo = max(0, n - window)

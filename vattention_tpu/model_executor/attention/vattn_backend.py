@@ -18,7 +18,8 @@ from vattention_tpu.ops.cache_append import (WINDOW,
                                              cache_append_tokens)
 from vattention_tpu.ops.flash_decode import flash_decode
 from vattention_tpu.ops.flash_prefill import flash_prefill
-from vattention_tpu.ops.utils import cdiv, select_kv_tile
+from vattention_tpu.ops.utils import (cdiv, select_kv_tile,
+                                      tile_rows_from_segments_jnp)
 
 
 class VattnAttentionBackend:
@@ -49,6 +50,15 @@ class VattnAttentionBackend:
                                  self.kv_tile)
         self.wide_max_kv_tiles = cdiv(min(max_context_len, arena_rows),
                                      self.wide_kv_tile)
+        # decode tiling: 256-token compute tiles measured fastest on v5e
+        # (bigger tiles raise the per-stream VMEM floor without more
+        # bandwidth; decode is per-seq-DMA-bound, not MXU-bound)
+        self.dec_kv_fetch = max(1, min(8, 256 // self.kv_tile))
+        self.dec_kv_tile = self.kv_tile * self.dec_kv_fetch
+        self.dec_sub = self.dec_kv_tile // self.dec_kv_fetch
+        self.dec_max_kv_tiles = cdiv(min(max_context_len, arena_rows),
+                                     self.dec_kv_tile)
+        self.dec_n_sub = self.dec_max_kv_tiles * self.dec_kv_fetch
 
     def append_kv(self, kv_cache, k, v, inputs: StepInputs, layer_idx,
                   n_prefill_tokens: int = 0):
@@ -93,14 +103,19 @@ class VattnAttentionBackend:
                 kv_fetch=self.wide_kv_fetch))
         if q.shape[0] > n_prefill_tokens:
             Bd = q.shape[0] - n_prefill_tokens
+            tile_rows = inputs.dec_tile_rows
+            if tile_rows is None:
+                tile_rows = tile_rows_from_segments_jnp(
+                    inputs.dec_seg_row, inputs.dec_seg_cum,
+                    self.dec_sub, self.dec_n_sub)
             outs.append(flash_decode(
                 q[n_prefill_tokens:], kv_cache,
-                inputs.dec_seg_row, inputs.dec_seg_cum, inputs.dec_seqlens,
+                tile_rows, inputs.dec_seqlens,
                 layer_idx.astype(jnp.int32),
-                kv_tile=self.wide_kv_tile, num_segments=self.num_segments,
-                sm_scale=sm_scale, max_kv_tiles=self.wide_max_kv_tiles,
+                kv_tile=self.dec_kv_tile,
+                sm_scale=sm_scale, max_kv_tiles=self.dec_max_kv_tiles,
                 window=self.sliding_window,
-                kv_fetch=self.wide_kv_fetch,
+                kv_fetch=self.dec_kv_fetch,
                 seq_tile=self.decode_seq_tile(
                     Bd, kv_cache.shape[2], kv_cache.shape[4],
                     jnp.dtype(kv_cache.dtype).itemsize)))
@@ -110,14 +125,16 @@ class VattnAttentionBackend:
                         kv_itemsize: int) -> int:
         """Sequences per decode grid step: amortizes the ~2-3us fixed
         per-step cost (DMA issue + semaphores + scalar index maps) over
-        several sequences' KV streams -- capped so the double-buffered KV
-        block buffers stay inside the scoped-VMEM budget."""
-        # bytes of KV block buffers per grid step per sequence, x2 for the
-        # pipeline's double buffering
-        per_seq = (2 * 2 * self.wide_kv_tile * n_kv_heads * head_dim
+        several sequences' KV streams.  8 streams/step measured fastest
+        on v5e (89% of HBM peak with host-resolved row tables); larger
+        groups lengthen the pipeline prologue, smaller ones expose the
+        fixed cost -- pick the divisor of B nearest 8 that fits the
+        double-buffered KV block buffers in the scoped-VMEM budget."""
+        per_seq = (2 * 2 * self.dec_kv_tile * n_kv_heads * head_dim
                    * kv_itemsize)
         budget = 48 * 2**20
-        for st in (8, 4, 2):
-            if batch % st == 0 and st * per_seq <= budget:
+        divisors = [d for d in range(1, batch + 1) if batch % d == 0]
+        for st in sorted(divisors, key=lambda d: (abs(d - 8), -d)):
+            if st * per_seq <= budget:
                 return st
         return 1

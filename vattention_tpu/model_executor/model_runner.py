@@ -291,6 +291,13 @@ class ModelRunner:
         dec_seg_row = seg_row.astype(np.int32)
         dec_seg_cum = np.zeros((B, S + 1), np.int32)
         dec_seg_cum[:, 1:] = np.cumsum(seg_tok, axis=1)
+        dec_tile_rows = None
+        if hasattr(self.backend, "dec_sub"):
+            from vattention_tpu.ops.utils import tile_rows_from_segments
+
+            dec_tile_rows = tile_rows_from_segments(
+                dec_seg_row, dec_seg_cum, self.backend.dec_sub,
+                self.backend.dec_n_sub)
 
         for meta in decodes:
             seq = meta.seq
@@ -341,6 +348,7 @@ class ModelRunner:
             dec_seg_row=dec_seg_row,
             dec_seg_cum=dec_seg_cum,
             dec_seqlens=dec_seqlens,
+            dec_tile_rows=dec_tile_rows,
             sample_idx=sample_idx,
             temperatures=temperatures,
             top_p=top_p,

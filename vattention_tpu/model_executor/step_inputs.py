@@ -51,3 +51,8 @@ class StepInputs(NamedTuple):
     # splices it in from the persistent device token buffer, so the
     # decode critical path never waits on a device->host round trip
     use_prev_tok: jax.Array = None  # [B] bool
+    # host-resolved arena row of each decode KV sub-tile start
+    # (ops/utils.tile_rows_from_segments); spares the decode kernel's
+    # index_maps an unrolled segment walk per (seq, tile).  None falls
+    # back to an in-program construction from the segment tables.
+    dec_tile_rows: jax.Array = None  # [B, n_sub] int32

@@ -203,8 +203,10 @@ def _rmw_run_kernel(runinfo_ref, linfo_ref, k_ref, v_ref, cache_ref,
     a = jnp.maximum(dst0, base)
     b = jnp.minimum(dst0 + n, base + WINDOW)
 
-    @pl.when(a < b)
-    def _():
+    full_cover = jnp.logical_and(a == base, b == base + WINDOW)
+
+    @pl.when(jnp.logical_and(a < b, jnp.logical_not(full_cover)))
+    def _partial():
         kin = pltpu.make_async_copy(
             out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :], kbuf, sem)
         kin.start()
@@ -227,6 +229,20 @@ def _rmw_run_kernel(runinfo_ref, linfo_ref, k_ref, v_ref, cache_ref,
                            jnp.transpose(vbuf[...], (1, 0, 2)))
         kbuf[...] = jnp.transpose(kblend, (1, 0, 2))
         vbuf[...] = jnp.transpose(vblend, (1, 0, 2))
+
+    @pl.when(full_cover)
+    def _full():
+        # interior window: new data covers all 32 rows -- no read, no
+        # blend; half the RMW traffic and DMA latency chain disappears
+        # for every window but a run's first and last
+        start = base - dst0 + src0 + WINDOW
+        kbuf[...] = jnp.transpose(
+            k_ref[pl.ds(start, WINDOW)].astype(kbuf.dtype), (1, 0, 2))
+        vbuf[...] = jnp.transpose(
+            v_ref[pl.ds(start, WINDOW)].astype(vbuf.dtype), (1, 0, 2))
+
+    @pl.when(a < b)
+    def _writeback():
         kout = pltpu.make_async_copy(
             kbuf, out_ref.at[layer, 0, :, pl.ds(base, WINDOW), :], sem)
         kout.start()

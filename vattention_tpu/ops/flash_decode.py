@@ -27,17 +27,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, interpret_mode,
-                                      seg_row_lookup, tpu_params)
+                                      tpu_params)
 
 
 def _decode_kernel(
     # scalar prefetch
-    seg_row_ref, seg_cum_ref, seqlens_ref, dinfo_ref,
+    tile_rows_ref, seqlens_ref, dinfo_ref,
     # blocks
     q_ref, kv_refs, out_ref,
     # scratch
     m_ref, l_ref, acc_ref,
-    *, kv_tile: int, kv_fetch: int, seq_tile: int, num_segments: int,
+    *, kv_tile: int, kv_fetch: int, seq_tile: int,
     sm_scale: float, window: int | None = None,
 ):
     g = pl.program_id(0)
@@ -133,18 +133,18 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kv_tile", "num_segments", "sm_scale",
+    static_argnames=("kv_tile", "sm_scale",
                      "max_kv_tiles", "window", "kv_fetch", "seq_tile"))
 def flash_decode(
     q: jax.Array,            # [B, Hq, D]
     kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
-    seg_row: jax.Array,      # [B, S] int32
-    seg_cum: jax.Array,      # [B, S+1] int32
+    tile_rows: jax.Array,    # [B, >=max_kv_tiles*kv_fetch] int32 arena row
+                             # of each sub-tile start (see
+                             # tile_rows_from_segments)
     seqlens: jax.Array,      # [B] int32 (0 = inactive slot)
     dinfo: jax.Array,        # [1] int32: (layer,)
     *,
     kv_tile: int = 512,
-    num_segments: int = 8,
     sm_scale: float | None = None,
     max_kv_tiles: int | None = None,
     window: int | None = None,
@@ -154,7 +154,10 @@ def flash_decode(
     """``kv_fetch`` splits the compute tile into block-aligned sub-tile
     DMAs (see flash_prefill) so wide tiles work on small-page arenas;
     ``seq_tile`` groups that many sequences into one grid step (B must be
-    a multiple) to amortize per-step fixed costs."""
+    a multiple) to amortize per-step fixed costs.  Extent resolution
+    happens host-side (``tile_rows``): the index_maps then cost two
+    scalar reads per (seq, tile) instead of an unrolled segment-table
+    walk -- the dominant fixed cost at serving batch sizes."""
     B, Hq, D = q.shape
     L, _, Hkv, R, _ = kv_cache.shape
     assert kv_tile % kv_fetch == 0
@@ -165,16 +168,17 @@ def flash_decode(
         sm_scale = 1.0 / (D ** 0.5)
     if max_kv_tiles is None:
         max_kv_tiles = cdiv(R, kv_tile)
+    assert tile_rows.shape[1] >= max_kv_tiles * kv_fetch, (
+        tile_rows.shape, max_kv_tiles, kv_fetch)
     G = Hq // Hkv
 
-    def kv_index_map(g, kt, seg_row_ref, seg_cum_ref, seqlens_ref,
-                     dinfo_ref, j, kv01, part):
+    def kv_index_map(g, kt, tile_rows_ref, seqlens_ref, dinfo_ref,
+                     j, kv01, part):
         b = g * bs + j
         layer = dinfo_ref[0]
         n_tiles = pl.cdiv(seqlens_ref[b], kv_tile)
         t_eff = jnp.clip(kt, 0, jnp.maximum(n_tiles - 1, 0))
-        row = seg_row_lookup(t_eff * kv_tile + part * sub, seg_row_ref,
-                             seg_cum_ref, num_segments, prefix=(b,))
+        row = tile_rows_ref[b, t_eff * kv_fetch + part]
         return (layer, kv01, 0, row // sub, 0)
 
     # buffer order per seq j: kv_fetch K parts, then kv_fetch V parts
@@ -185,7 +189,7 @@ def flash_decode(
         for j in range(bs) for kv01 in (0, 1) for p in range(kv_fetch)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(B // bs, max_kv_tiles),
         in_specs=[
             pl.BlockSpec((bs, Hq, D), lambda g, kt, *_: (g, 0, 0)),
@@ -199,14 +203,13 @@ def flash_decode(
         ],
     )
 
-    def kernel(seg_row_ref, seg_cum_ref, seqlens_ref, dinfo_ref, q_ref,
-               *rest):
+    def kernel(tile_rows_ref, seqlens_ref, dinfo_ref, q_ref, *rest):
         n_kv = 2 * kv_fetch * bs
         kv_refs, (out_ref, m_ref, l_ref, acc_ref) = rest[:n_kv], rest[n_kv:]
-        _decode_kernel(seg_row_ref, seg_cum_ref, seqlens_ref, dinfo_ref,
+        _decode_kernel(tile_rows_ref, seqlens_ref, dinfo_ref,
                        q_ref, tuple(kv_refs), out_ref, m_ref, l_ref,
                        acc_ref, kv_tile=kv_tile, kv_fetch=kv_fetch,
-                       seq_tile=bs, num_segments=num_segments,
+                       seq_tile=bs,
                        sm_scale=sm_scale, window=window)
 
     return pl.pallas_call(
@@ -215,5 +218,5 @@ def flash_decode(
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
         compiler_params=tpu_params(("parallel", "arbitrary")),
         interpret=interpret_mode(),
-    )(seg_row, seg_cum, seqlens, dinfo, q,
+    )(tile_rows, seqlens, dinfo, q,
       *([kv_cache] * (2 * kv_fetch * bs)))

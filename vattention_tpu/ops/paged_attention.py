@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vattention_tpu.ops.flash_decode import _decode_kernel
 from vattention_tpu.ops.flash_prefill import _prefill_kernel
 from vattention_tpu.ops.utils import cdiv, interpret_mode, tpu_params
 
@@ -111,52 +110,41 @@ def paged_flash_decode(
     *,
     block_size: int = 256,
     sm_scale: float | None = None,
-    max_kv_tiles: int | None = None,
+    max_kv_tiles: int | None = None,  # block-granular (table width) bound
 ) -> jax.Array:
+    """A block table IS a sub-tile row table (row = block_id *
+    block_size), so paged decode delegates to the shared flash_decode
+    kernel: same seq-tiled batching and 256-token compute tiles; the
+    paged cost that remains -- and that the A/B measures -- is the
+    per-block DMA granularity and the table gather itself."""
+    from vattention_tpu.ops.flash_decode import flash_decode
+
     B, Hq, D = q.shape
     L, _, Hkv, R, _ = kv_cache.shape
-    kv_tile = block_size
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
+    NB = block_table.shape[1]
     if max_kv_tiles is None:
-        max_kv_tiles = block_table.shape[1]
-    G = Hq // Hkv
-
-    def kv_index_map(b, kt, table_ref, seqlens_ref, dinfo_ref, kv01):
-        layer = dinfo_ref[0]
-        n_tiles = pl.cdiv(seqlens_ref[b], kv_tile)
-        t_eff = jnp.clip(kt, 0, jnp.maximum(n_tiles - 1, 0))
-        return (layer, kv01, 0, table_ref[b, t_eff], 0)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B, max_kv_tiles),
-        in_specs=[
-            pl.BlockSpec((1, Hq, D), lambda b, kt, *_: (b, 0, 0)),
-            pl.BlockSpec((None, None, Hkv, kv_tile, D),
-                         functools.partial(kv_index_map, kv01=0)),
-            pl.BlockSpec((None, None, Hkv, kv_tile, D),
-                         functools.partial(kv_index_map, kv01=1)),
-        ],
-        out_specs=pl.BlockSpec((1, Hq, D), lambda b, kt, *_: (b, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((1, Hkv, G), jnp.float32),
-            pltpu.VMEM((1, Hkv, G), jnp.float32),
-            pltpu.VMEM((1, Hkv, G, D), jnp.float32),
-        ],
-    )
-
-    def kernel(table_ref, seqlens_ref, dinfo_ref, q_ref, k_ref, v_ref,
-               out_ref, m_ref, l_ref, acc_ref):
-        _decode_kernel(table_ref, table_ref, seqlens_ref, dinfo_ref,
-                       q_ref, (k_ref, v_ref), out_ref, m_ref, l_ref,
-                       acc_ref, kv_tile=kv_tile, kv_fetch=1, seq_tile=1,
-                       num_segments=0, sm_scale=sm_scale)
-
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
-        compiler_params=tpu_params(("parallel", "arbitrary")),
-        interpret=interpret_mode(),
-    )(block_table, seqlens, dinfo, q, kv_cache, kv_cache)
+        max_kv_tiles = NB
+    kv_fetch = max(1, min(8, 256 // block_size))
+    kv_tile = block_size * kv_fetch
+    n_tiles = cdiv(max_kv_tiles, kv_fetch)
+    tile_rows = block_table.astype(jnp.int32) * block_size
+    need = n_tiles * kv_fetch
+    if NB < need:
+        tile_rows = jnp.pad(tile_rows, ((0, 0), (0, need - NB)))
+    # seq streams per grid step: divisor of B nearest 8 under the
+    # scoped-VMEM budget (see VattnAttentionBackend.decode_seq_tile)
+    per_seq = (2 * 2 * kv_tile * Hkv * D
+               * jnp.dtype(kv_cache.dtype).itemsize)
+    budget = 48 * 2**20
+    seq_tile = 1
+    for st in sorted((d for d in range(1, B + 1) if B % d == 0),
+                     key=lambda d: (abs(d - 8), -d)):
+        if st * per_seq <= budget:
+            seq_tile = st
+            break
+    return flash_decode(
+        q, kv_cache, tile_rows, seqlens, dinfo,
+        kv_tile=kv_tile, sm_scale=sm_scale, max_kv_tiles=n_tiles,
+        kv_fetch=kv_fetch, seq_tile=seq_tile)

@@ -48,6 +48,44 @@ def select_kv_tile(block_tokens: int, preferred: int = 512) -> int:
     return max(t, 1)
 
 
+def tile_rows_from_segments(seg_row: np.ndarray, seg_cum: np.ndarray,
+                            sub: int, n_sub: int) -> np.ndarray:
+    """Host-side arena-row table for sub-tile starts (decode fast path).
+
+    ``seg_row [B, S]``: arena row where extent j starts; ``seg_cum
+    [B, S+1]``: cumulative tokens before extent j.  Returns ``[B, n_sub]``
+    int32: the arena row of token position ``s*sub`` for each sub-tile s
+    (0 for positions beyond the mapped extents -- those tiles are never
+    read; the kernel clamps its tile index).  Replaces the in-kernel
+    ``seg_row_lookup`` scalar unrolling on the decode path: resolving
+    B x n_sub rows is a handful of vectorized numpy ops per step instead
+    of 8-segment select chains inside every BlockSpec index_map call.
+    """
+    B = seg_row.shape[0]
+    pos = (np.arange(n_sub, dtype=np.int64) * sub)[None, :]      # [1, n]
+    cum = seg_cum.astype(np.int64)
+    # extent index for each position: last j with cum[j] <= pos
+    j = np.maximum((pos[..., None] >= cum[:, None, :-1]).sum(-1) - 1, 0)
+    rows = (np.take_along_axis(seg_row.astype(np.int64), j, 1)
+            + pos - np.take_along_axis(cum[:, :-1], j, 1))
+    rows = np.where(pos < cum[:, -1:], rows, 0)
+    return rows.astype(np.int32)
+
+
+def tile_rows_from_segments_jnp(seg_row, seg_cum, sub: int,
+                                n_sub: int):
+    """jnp twin of ``tile_rows_from_segments`` for callers that build
+    StepInputs without the host fast path (traced into the step; the
+    [B, n_sub] integer ops are negligible)."""
+    pos = (jnp.arange(n_sub, dtype=jnp.int32) * sub)[None, :]
+    cum = seg_cum.astype(jnp.int32)
+    j = jnp.maximum(
+        jnp.sum(pos[..., None] >= cum[:, None, :-1], axis=-1) - 1, 0)
+    rows = (jnp.take_along_axis(seg_row.astype(jnp.int32), j, 1)
+            + pos - jnp.take_along_axis(cum[:, :-1], j, 1))
+    return jnp.where(pos < cum[:, -1:], rows, 0).astype(jnp.int32)
+
+
 def seg_row_lookup(pos, seg_row_ref, seg_cum_ref, num_segments: int,
                    prefix=()):
     """Arena row for token position ``pos`` given extent tables.

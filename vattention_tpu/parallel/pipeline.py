@@ -120,4 +120,6 @@ def split_microbatches(inputs: StepInputs, num_micro: int, n_pre: int
         top_p=split_slot(inputs.top_p),
         top_k=split_slot(inputs.top_k),
         rng=jax.random.split(inputs.rng, num_micro),
+        dec_tile_rows=(split_slot(inputs.dec_tile_rows)
+                       if inputs.dec_tile_rows is not None else None),
     )

@@ -15,8 +15,15 @@ logger = init_logger(__name__)
 
 
 def get_tokenizer(model: str, **kwargs):
+    import glob
     import os
-    if not os.path.isdir(model):
+
+    # a checkpoint dir without tokenizer files (weights-only, e.g.
+    # sharded-load benchmarks) also runs tokenizer-less
+    has_tok = os.path.isdir(model) and (
+        glob.glob(os.path.join(model, "tokenizer*"))
+        or os.path.exists(os.path.join(model, "vocab.json")))
+    if not has_tok:
         logger.info(
             "No local tokenizer for %r; running tokenizer-less "
             "(token-id I/O only).", model)
