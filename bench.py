@@ -42,6 +42,8 @@ def main():
     p.add_argument("--ctx", type=int, default=1024)
     p.add_argument("--decode-steps", type=int, default=20)
     p.add_argument("--max-model-len", type=int, default=2048)
+    p.add_argument("--kv-quant", default="none",
+                   help="KV cache dtype: none | fp8")
     args = p.parse_args()
 
     if args.quick:
@@ -65,6 +67,7 @@ def main():
         max_batch_size=args.batch,
         max_num_seqs=args.batch,
         gpu_memory_utilization=0.9,
+        kv_quant=args.kv_quant,
     )
 
     for i in range(args.batch):
@@ -110,6 +113,7 @@ def main():
     # memory roofline for one decode step
     arch = get_model_arch(args.model)
     dtype_bytes = 2
+    kv_dtype_bytes = 1 if args.kv_quant == "fp8" else dtype_bytes
     param_bytes = (arch.num_layers * (
         arch.hidden_size * (arch.num_q_heads + 2 * arch.num_kv_heads)
         * arch.head_dim
@@ -117,7 +121,7 @@ def main():
         + 3 * arch.hidden_size * arch.intermediate_size)
         + 2 * arch.vocab_size * arch.hidden_size) * dtype_bytes
     kv_bytes = (concurrency * args.ctx * arch.num_kv_heads * arch.head_dim
-                * 2 * arch.num_layers * dtype_bytes)
+                * 2 * arch.num_layers * kv_dtype_bytes)
     roofline_step = (param_bytes + kv_bytes) / HBM_BW
     roofline_tps = concurrency / roofline_step if roofline_step else 1.0
     vs_baseline = tokens_per_s / roofline_tps if roofline_tps else 0.0
@@ -127,7 +131,9 @@ def main():
         "metric": "decode_tokens_per_s_per_chip",
         "value": round(tokens_per_s, 1),
         "unit": f"tok/s ({args.model} B={args.batch} ctx={args.ctx} "
-                f"{args.backend})",
+                f"{args.backend}"
+                + (f" kv={args.kv_quant}" if args.kv_quant != "none"
+                   else "") + ")",
         "vs_baseline": round(vs_baseline, 3),
     }))
 

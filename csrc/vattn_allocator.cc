@@ -581,6 +581,9 @@ void vattn_init_kvcache(int64_t num_layers, int64_t num_kv_heads,
   int64_t per_token = num_kv_heads * head_size * dtype_bytes;
   if (g.megacache) per_token *= num_layers;
   g.block_tokens = std::max<int64_t>(1, page_size / per_token);
+  // round down to a 32-row multiple (DMA sublane alignment); mirrors
+  // memory/allocator.py
+  if (g.block_tokens > 32) g.block_tokens -= g.block_tokens % 32;
   g.pages_per_kvblock = g.megacache ? 2 : 2 * num_layers;
   g.max_blocks_per_req = g.tokens_to_blocks(max_context_length);
   g.seq_lens.assign(max_batch_size, 0);

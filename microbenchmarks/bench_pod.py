@@ -44,7 +44,8 @@ def main():
     from vattention_tpu.ops.flash_prefill import flash_prefill
     from vattention_tpu.ops.pod_fused import (build_pod_schedule,
                                               pod_fused_attention)
-    from vattention_tpu.ops.utils import cdiv, round_up
+    from vattention_tpu.ops.utils import (cdiv, round_up,
+                                          tile_rows_from_segments)
 
     B, Hq, Hkv, D = args.batch, args.hq, args.hkv, args.head_dim
     L = args.layers
@@ -83,7 +84,9 @@ def main():
         dec_seqlens=dec_seqlens, sched=sched).items()}
 
     max_kv_tiles_pre = cdiv(hist_pad, 512)
-    max_kv_tiles_dec = cdiv(ctx_pad, 512)
+    max_kv_tiles_dec = cdiv(ctx_pad, 256)
+    dec_tile_rows = jnp.asarray(tile_rows_from_segments(
+        dec_seg_row, dec_seg_cum, 256, max_kv_tiles_dec))
 
     @jax.jit
     def serial(qp, qd, kv):
@@ -94,10 +97,9 @@ def main():
                                qi, q_tile=q_tile, kv_tile=512,
                                num_segments=S,
                                max_kv_tiles=max_kv_tiles_pre, kv_fetch=2)
-            od = flash_decode(qd, kv, j["dec_seg_row"], j["dec_seg_cum"],
-                              j["dec_seqlens"], dinfo, kv_tile=512,
-                              num_segments=S,
-                              max_kv_tiles=max_kv_tiles_dec, kv_fetch=2,
+            od = flash_decode(qd, kv, dec_tile_rows,
+                              j["dec_seqlens"], dinfo, kv_tile=256,
+                              max_kv_tiles=max_kv_tiles_dec,
                               seq_tile=8 if B % 8 == 0 else 1)
             qp, qd = op, od
         return qp, qd

@@ -261,6 +261,51 @@ def test_pod_fused_matches_separate_kernels():
                                atol=2e-3, rtol=2e-3)
 
 
+def test_pod_fused_long_weave():
+    """Fused POD at serving scale: 4 q-tiles x deep kv history woven
+    with a 8-slot decode batch (the regime where the schedule revisits
+    output blocks many times)."""
+    from vattention_tpu.ops.pod_fused import (build_pod_schedule,
+                                              pod_fused_attention)
+    from vattention_tpu.ops.utils import tile_rows_from_segments
+
+    rng = np.random.default_rng(17)
+    cache = make_cache(rng)
+    # prefill: 512-token chunk at the end of a 1024 context, extent row 0
+    kv_len, q_start, Tq = 1024, 512, 512
+    qp = jnp.asarray(rng.standard_normal((Tq, HQ, D)), dtype=jnp.float32)
+    pre_row, pre_cum = seg_tables([(0, 1024)])
+    B = 8
+    dec_row = np.zeros((B, S), np.int32)
+    dec_cum = np.zeros((B, S + 1), np.int32)
+    dec_seqlens = np.zeros(B, np.int32)
+    for b in range(B):
+        r, c = seg_tables([(1024 + b * 128, 128)])
+        dec_row[b], dec_cum[b] = np.asarray(r), np.asarray(c)
+        dec_seqlens[b] = 100 + b
+    qd = jnp.asarray(rng.standard_normal((B, HQ, D)), dtype=jnp.float32)
+
+    sched = build_pod_schedule(Tq, 128, 256, kv_len, q_start, dec_seqlens)
+    qinfo = jnp.asarray([q_start, kv_len, 1], jnp.int32)
+    op, od = pod_fused_attention(
+        qp, qd, cache, jnp.asarray(sched), pre_row, pre_cum, qinfo,
+        jnp.asarray(dec_row), jnp.asarray(dec_cum),
+        jnp.asarray(dec_seqlens), q_tile=128, kv_tile=256, num_segments=S)
+
+    ref_p = flash_prefill(qp, cache, pre_row, pre_cum, qinfo,
+                          q_tile=128, kv_tile=256, num_segments=S,
+                          max_kv_tiles=4)
+    ref_d = flash_decode(qd, cache,
+                         jnp.asarray(tile_rows_from_segments(
+                             dec_row, dec_cum, 256, 4)),
+                         jnp.asarray(dec_seqlens), jnp.ones(1, jnp.int32),
+                         kv_tile=256, max_kv_tiles=4)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ref_p),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(od), np.asarray(ref_d),
+                               atol=2e-3, rtol=2e-3)
+
+
 def test_sliding_window_attention():
     """Window-masked kernels vs explicitly masked jnp reference."""
     rng = np.random.default_rng(21)

@@ -124,6 +124,60 @@ def test_safetensors_tp_shards_tile_the_full_matrix(tmp_path):
                                rtol=1e-6)
 
 
+def test_safetensors_falcon_layout(tmp_path):
+    """Falcon fused-MQA checkpoint layout loads into the falcon pytree."""
+    from vattention_tpu.config import ModelArch
+    from vattention_tpu.model_executor.weight_utils import (
+        load_safetensors_falcon)
+
+    arch = ModelArch("falcon", num_layers=2, num_q_heads=4, num_kv_heads=1,
+                     head_dim=64, hidden_size=256, intermediate_size=1024,
+                     vocab_size=512, max_position_embeddings=2048,
+                     parallel_attn=True)
+    model_cls = get_model_class("falcon")
+    model = model_cls(arch, dtype=jnp.float32, tp_size=1)
+    rng = np.random.default_rng(4)
+    H, D = arch.hidden_size, arch.head_dim
+    qkv_out = (arch.num_q_heads + 2 * arch.num_kv_heads) * D
+    raw = {}
+    for l in range(arch.num_layers):
+        p = f"transformer.h.{l}."
+        raw[p + "self_attention.query_key_value.weight"] = \
+            rng.standard_normal((qkv_out, H)).astype(np.float32)
+        raw[p + "self_attention.dense.weight"] = rng.standard_normal(
+            (H, arch.num_q_heads * D)).astype(np.float32)
+        raw[p + "mlp.dense_h_to_4h.weight"] = rng.standard_normal(
+            (arch.intermediate_size, H)).astype(np.float32)
+        raw[p + "mlp.dense_4h_to_h.weight"] = rng.standard_normal(
+            (H, arch.intermediate_size)).astype(np.float32)
+        raw[p + "input_layernorm.weight"] = rng.standard_normal(
+            H).astype(np.float32)
+        raw[p + "input_layernorm.bias"] = rng.standard_normal(
+            H).astype(np.float32)
+    raw["transformer.word_embeddings.weight"] = rng.standard_normal(
+        (arch.vocab_size, H)).astype(np.float32)
+    raw["transformer.ln_f.weight"] = rng.standard_normal(
+        H).astype(np.float32)
+    raw["transformer.ln_f.bias"] = rng.standard_normal(
+        H).astype(np.float32)
+    save_file(raw, str(tmp_path / "model.safetensors"))
+
+    class Cfg:
+        model = str(tmp_path)
+
+    params = load_safetensors_falcon(model, Cfg)
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["qkv_w"][1]),
+        raw["transformer.h.1.self_attention.query_key_value.weight"].T,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["embed"]),
+        raw["transformer.word_embeddings.weight"], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["lm_head"]),
+        raw["transformer.word_embeddings.weight"].T, rtol=1e-6)
+
+
 def test_engine_runs_with_safetensors_weights(tmp_path):
     """The engine produces the same greedy tokens whether the weights
     come from the safetensors path or are injected directly."""

@@ -133,6 +133,13 @@ class VAttentionAllocator:
         if megacache:
             per_token_bytes *= num_layers
         self.block_tokens = max(1, page_size // per_token_bytes)
+        # round DOWN to a 32-row multiple when possible: arena rows are
+        # DMA'd in sublane tiles, and a non-32-multiple block granularity
+        # (e.g. 170 tokens: 256KB pages over 12x64 kv heads) would
+        # misalign every tile fetch.  Mirrors the reference's page-size
+        # rounding (vtensor.h:78-88); wastes <=31 tokens per page.
+        if self.block_tokens > 32:
+            self.block_tokens -= self.block_tokens % 32
         # pages per KV block (ref utils.h:8-11)
         self.pages_per_kvblock = 2 if megacache else 2 * num_layers
         self.kvblock_bytes = self.pages_per_kvblock * page_size

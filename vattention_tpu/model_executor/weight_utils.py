@@ -50,6 +50,8 @@ def load_safetensors(model, model_config: ModelConfig, *,
     """
     from safetensors import safe_open
 
+    if model.arch.model_type == "falcon":
+        return load_safetensors_falcon(model, model_config)
     a = model.arch
     tp = model.tp_size
     D = a.head_dim
@@ -108,5 +110,55 @@ def load_safetensors(model, model_config: ModelConfig, *,
     if not a.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(raw["lm_head.weight"].T, dtype=dtype)
     logger.info("loaded %d safetensors tensors from %s", len(raw),
+                model_config.model)
+    return params
+
+
+def load_safetensors_falcon(model, model_config: ModelConfig
+                            ) -> Dict[str, Any]:
+    """Falcon-7B-layout checkpoint (``transformer.h.{l}.*``; fused MQA
+    query_key_value with KV rows at the end; parallel-attn single
+    layernorm).  ref: sarathi-lean models/falcon.py weight loading."""
+    from safetensors import safe_open
+
+    assert model.tp_size == 1, (
+        "falcon safetensors loading supports tp=1 (MQA kv is shared)")
+    a = model.arch
+    params = model.init_params(np.random.default_rng(0))
+    files = sorted(glob.glob(os.path.join(model_config.model,
+                                          "*.safetensors")))
+    assert files, f"no safetensors under {model_config.model}"
+    raw: Dict[str, np.ndarray] = {}
+    for f in files:
+        with safe_open(f, framework="np") as sf:
+            for name in sf.keys():
+                raw[name] = sf.get_tensor(name)
+
+    dtype = model.dtype
+    lp = params["layers"]
+
+    def put(dst, l, value):
+        lp[dst] = lp[dst].at[l].set(jnp.asarray(value, dtype=dtype))
+
+    for l in range(a.num_layers):
+        pfx = f"transformer.h.{l}."
+        put("qkv_w", l,
+            raw[pfx + "self_attention.query_key_value.weight"].T)
+        put("o_w", l, raw[pfx + "self_attention.dense.weight"].T)
+        put("up_w", l, raw[pfx + "mlp.dense_h_to_4h.weight"].T)
+        put("down_w", l, raw[pfx + "mlp.dense_4h_to_h.weight"].T)
+        put("input_norm", l, raw[pfx + "input_layernorm.weight"])
+        put("input_norm_b", l, raw[pfx + "input_layernorm.bias"])
+    params["layers"] = lp
+    params["embed"] = jnp.asarray(raw["transformer.word_embeddings.weight"],
+                                  dtype=dtype)
+    params["final_norm"] = jnp.asarray(raw["transformer.ln_f.weight"],
+                                       dtype=dtype)
+    params["final_norm_b"] = jnp.asarray(raw["transformer.ln_f.bias"],
+                                         dtype=dtype)
+    params["lm_head"] = jnp.asarray(
+        raw.get("lm_head.weight",
+                raw["transformer.word_embeddings.weight"]).T, dtype=dtype)
+    logger.info("loaded %d falcon safetensors tensors from %s", len(raw),
                 model_config.model)
     return params

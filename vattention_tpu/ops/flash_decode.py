@@ -4,17 +4,20 @@ TPU-native equivalent of ``flash_attn_with_kvcache(q, cache, cache_seqlens,
 cache_batch_idx)`` for the decode phase (ref: sarathi-lean
 vattention_flashattention_wrapper.py:191-205): every scheduled sequence
 contributes one query token that attends over its KV history in the arena.
-The reference's ``cache_batch_idx`` gather generalizes to per-request
-extent tables resolved in BlockSpec index_maps (scalar prefetch); the
-Pallas pipeline double-buffers KV tile DMAs and elides fetches for tiles
-beyond a sequence's length (clamped index trick).
+The reference's ``cache_batch_idx`` gather generalizes to a host-built
+per-(sequence, tile) arena-row table consumed by the BlockSpec index_maps
+via scalar prefetch; the Pallas pipeline double-buffers KV tile DMAs and
+elides fetches for tiles beyond a sequence's length (clamped index trick).
 
-Decode is HBM-bandwidth-bound, and on TPU the limiter is the ~2-3us fixed
-cost of every grid step (DMA issue + semaphores + scalar index maps), not
-the streams themselves (which run at full HBM rate).  So the kernel
-processes ``seq_tile`` sequences per grid step -- their KV tiles are
-independent DMA buffers issued together -- amortizing the fixed cost over
-seq_tile x kv_tile rows per step.
+Decode is HBM-bandwidth-bound, and on TPU the limiter is per-grid-step
+fixed cost (DMA issue + semaphores + scalar index maps), not the streams
+themselves.  Two measured design rules (v5e, ~90% of HBM peak):
+  - ``seq_tile`` sequences share one grid step -- their KV tiles are
+    independent DMA buffers issued together, and the softmax state is
+    updated with single wide ops (member loops of tiny matmul/VPU ops
+    are instruction-issue-bound);
+  - extent resolution lives on the host (``tile_rows``): in-kernel
+    segment-table walks in the index_maps were the dominant fixed cost.
 """
 
 from __future__ import annotations
@@ -26,8 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, interpret_mode,
-                                      tpu_params)
+from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, icdiv, idiv,
+                                      interpret_mode, tpu_params)
 
 
 def _decode_kernel(
@@ -45,10 +48,10 @@ def _decode_kernel(
     bs = seq_tile
     # group runs to the longest member's tile count; shorter members'
     # contributions are masked to zero past their own length
-    n_tiles = pl.cdiv(seqlens_ref[g * bs], kv_tile)
+    n_tiles = icdiv(seqlens_ref[g * bs], kv_tile)
     for j in range(1, bs):
         n_tiles = jnp.maximum(
-            n_tiles, pl.cdiv(seqlens_ref[g * bs + j], kv_tile))
+            n_tiles, icdiv(seqlens_ref[g * bs + j], kv_tile))
 
     @pl.when(kt == 0)
     def _init():
@@ -176,10 +179,10 @@ def flash_decode(
                      j, kv01, part):
         b = g * bs + j
         layer = dinfo_ref[0]
-        n_tiles = pl.cdiv(seqlens_ref[b], kv_tile)
+        n_tiles = icdiv(seqlens_ref[b], kv_tile)
         t_eff = jnp.clip(kt, 0, jnp.maximum(n_tiles - 1, 0))
         row = tile_rows_ref[b, t_eff * kv_fetch + part]
-        return (layer, kv01, 0, row // sub, 0)
+        return (layer, kv01, 0, idiv(row, sub), 0)
 
     # buffer order per seq j: kv_fetch K parts, then kv_fetch V parts
     kv_specs = [

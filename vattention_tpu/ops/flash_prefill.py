@@ -31,8 +31,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, interpret_mode,
-                                      seg_row_lookup, tpu_params)
+from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, icdiv, idiv,
+                                      interpret_mode, seg_row_lookup,
+                                      tpu_params)
 
 
 def _prefill_kernel(
@@ -52,11 +53,12 @@ def _prefill_kernel(
     q_start = qinfo_ref[0]          # absolute position of q token 0
     kv_len = qinfo_ref[1]           # total kv rows to attend (history+chunk)
 
-    n_kv_tiles = jnp.maximum(1, pl.cdiv(kv_len, kv_tile))
+    n_kv_tiles = jnp.maximum(1, icdiv(kv_len, kv_tile))
     # last tile this q tile may see under causality
     q_lo = q_start + qt * q_tile
     q_last_pos = q_lo + q_tile - 1
-    diag_tile = jnp.minimum(q_last_pos // kv_tile, n_kv_tiles - 1)
+    diag_tile = jnp.minimum(idiv(q_last_pos, kv_tile),
+                            n_kv_tiles - 1)
 
     @pl.when(kt == 0)
     def _init():
@@ -101,7 +103,7 @@ def _prefill_kernel(
             if masked:
                 row = jax.lax.broadcasted_iota(
                     jnp.int32, (q_tile * G, sub), 0)
-                q_pos = q_lo + row // G
+                q_pos = q_lo + idiv(row, G)
                 kv_pos = (tile_start + i * sub
                           + jax.lax.broadcasted_iota(
                               jnp.int32, (q_tile * G, sub), 1))
@@ -190,13 +192,13 @@ def flash_prefill(
                      kv01, part):
         layer = qinfo_ref[2]
         kv_len = qinfo_ref[1]
-        n_kv_tiles = jnp.maximum(1, pl.cdiv(kv_len, kv_tile))
+        n_kv_tiles = jnp.maximum(1, icdiv(kv_len, kv_tile))
         q_last_pos = qinfo_ref[0] + (qt + 1) * q_tile - 1
-        diag_tile = jnp.minimum(q_last_pos // kv_tile, n_kv_tiles - 1)
+        diag_tile = jnp.minimum(idiv(q_last_pos, kv_tile), n_kv_tiles - 1)
         t_eff = jnp.minimum(kt, diag_tile)  # clamp: repeats elide the DMA
         row = seg_row_lookup(t_eff * kv_tile + part * sub, seg_row_ref,
                              seg_cum_ref, num_segments)
-        return (layer, kv01, h, row // sub, 0)
+        return (layer, kv01, h, idiv(row, sub), 0)
 
     kv_specs = [
         pl.BlockSpec((None, None, None, sub, D),

@@ -22,7 +22,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vattention_tpu.ops.flash_prefill import _prefill_kernel
-from vattention_tpu.ops.utils import cdiv, interpret_mode, tpu_params
+from vattention_tpu.ops.utils import (cdiv, icdiv, idiv,
+                                      interpret_mode, tpu_params)
 
 
 @functools.partial(
@@ -54,9 +55,10 @@ def paged_flash_prefill(
     def kv_index_map(h, qt, kt, table_ref, qinfo_ref, kv01):
         layer = qinfo_ref[2]
         kv_len = qinfo_ref[1]
-        n_kv_tiles = jnp.maximum(1, pl.cdiv(kv_len, kv_tile))
+        n_kv_tiles = jnp.maximum(1, icdiv(kv_len, kv_tile))
         q_last_pos = qinfo_ref[0] + (qt + 1) * q_tile - 1
-        diag_tile = jnp.minimum(q_last_pos // kv_tile, n_kv_tiles - 1)
+        diag_tile = jnp.minimum(idiv(q_last_pos, kv_tile),
+                                n_kv_tiles - 1)
         t_eff = jnp.minimum(kt, diag_tile)
         return (layer, kv01, h, table_ref[t_eff], 0)
 

@@ -41,8 +41,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, interpret_mode,
-                                      seg_row_lookup, tpu_params)
+from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, icdiv, idiv,
+                                      interpret_mode, seg_row_lookup,
+                                      tpu_params)
 
 
 def build_pod_schedule(
@@ -163,9 +164,9 @@ def _pod_kernel(
         pm_ref[...] = m_new
 
         # flush this q tile's output on its last kv tile
-        n_kv = jnp.maximum(1, pl.cdiv(kv_len, kv_tile))
+        n_kv = jnp.maximum(1, icdiv(kv_len, kv_tile))
         q_last = q_start + (idx + 1) * q_tile - 1
-        last_kt = jnp.minimum(q_last // kv_tile, n_kv - 1)
+        last_kt = jnp.minimum(idiv(q_last, kv_tile), n_kv - 1)
 
         @pl.when(kt == last_kt)
         def _finish():
@@ -213,7 +214,7 @@ def _pod_kernel(
         dacc_ref[b] = dacc_ref[b] * alpha[..., None] + pv
         dm_ref[b] = m_new
 
-        n_tiles = pl.cdiv(kv_len_b, kv_tile)
+        n_tiles = icdiv(kv_len_b, kv_tile)
 
         @pl.when(kt == n_tiles - 1)
         def _finish():
@@ -271,7 +272,7 @@ def pod_fused_attention(
         row_dec = seg_row_lookup(pos, dsr, dsc, num_segments,
                                  prefix=(idx,))
         row = jnp.where(phase == 0, row_pre, row_dec)
-        return (layer, kv01, 0, row // kv_tile, 0)
+        return (layer, kv01, 0, idiv(row, kv_tile), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,

@@ -35,6 +35,23 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def idiv(a, b: int):
+    """Traced-scalar // static divisor for BlockSpec index_maps.
+
+    ``a // b`` via jnp lowers to a jitted floor_divide with sign
+    correction -- a closed_call the index-map evaluator rejects for
+    non-power-of-2 divisors (seen with 170-token blocks).  lax.div is a
+    single trunc-division primitive, equal to floor for the non-negative
+    values index maps work with.
+    """
+    return jax.lax.div(a, jnp.int32(b))
+
+
+def icdiv(a, b: int):
+    """Ceiling-division twin of idiv for index maps."""
+    return jax.lax.div(a + jnp.int32(b - 1), jnp.int32(b))
+
+
 def round_up(x: int, m: int) -> int:
     return cdiv(x, m) * m
 
