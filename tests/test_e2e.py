@@ -54,16 +54,17 @@ def dense_reference_generate(model, params, prompt_ids, max_tokens):
     return ids[len(prompt_ids):]
 
 
-@pytest.mark.parametrize("backend,scheduler,chunk", [
-    ("fa_vattn", "sarathi", 128),          # chunked prefill
-    ("fa_vattn", "vllm", 128),             # whole-prompt prefill
-    ("fa_vattn_64kb", "sarathi", 128),     # small pages -> multi-extent
-    ("fa_paged_128", "sarathi", 128),      # block-table A/B baseline
-    ("fa_pod", "sarathi", 128),            # fused prefill+decode kernel
+@pytest.mark.parametrize("backend,scheduler,chunk,model", [
+    ("fa_vattn", "sarathi", 128, "tiny-llama-debug"),   # chunked prefill
+    ("fa_vattn", "vllm", 128, "tiny-llama-debug"),      # whole-prompt
+    ("fa_vattn_64kb", "sarathi", 128, "tiny-llama-debug"),  # multi-extent
+    ("fa_paged_128", "sarathi", 128, "tiny-llama-debug"),   # paged A/B
+    ("fa_pod", "sarathi", 128, "tiny-llama-debug"),     # fused kernel
+    ("fa_vattn", "sarathi", 128, "tiny-d64-debug"),     # head-dim padding
 ])
-def test_engine_matches_dense_reference(backend, scheduler, chunk):
+def test_engine_matches_dense_reference(backend, scheduler, chunk, model):
     engine = LLMEngine.from_engine_args(
-        model="tiny-llama-debug",
+        model=model,
         dtype="float32",          # exact match at f32
         attention_backend=backend,
         scheduler_type=scheduler,

@@ -119,7 +119,15 @@ def run_from_args(args) -> dict:
         time_limit_s=args.time_limit, warmup=not args.no_warmup,
         enable_profiling=args.enable_profiling,
         profiler_dir=args.profiler_dir)
-    summary = runner.run()
+    try:
+        summary = runner.run()
+    finally:
+        # free the arena/pool HBM before a grid driver builds the next
+        # engine (reference cycles defer gc past the next 9GB alloc)
+        runner.engine.cleanup()
+        from vattention_tpu.metrics.metrics_store import MetricsStore
+
+        MetricsStore._instance = None
     print(json.dumps(summary["totals"], indent=2))
     return summary
 

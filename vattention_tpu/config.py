@@ -71,6 +71,12 @@ _ARCH_REGISTRY: Dict[str, ModelArch] = {
         "llama", num_layers=2, num_q_heads=4, num_kv_heads=2, head_dim=128,
         hidden_size=256, intermediate_size=688, vocab_size=2048,
         max_position_embeddings=8192),
+    # head_dim 64: exercises the arena's 128-lane head padding path
+    # (the opt-125m / falcon-7b geometry)
+    "tiny-d64-debug": ModelArch(
+        "llama", num_layers=2, num_q_heads=4, num_kv_heads=4, head_dim=64,
+        hidden_size=256, intermediate_size=688, vocab_size=2048,
+        max_position_embeddings=8192),
     "opt-125m": ModelArch(
         "llama", num_layers=12, num_q_heads=12, num_kv_heads=12, head_dim=64,
         hidden_size=768, intermediate_size=3072, vocab_size=50272,

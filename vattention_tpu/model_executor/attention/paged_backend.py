@@ -37,6 +37,11 @@ class PagedAttentionBackend:
         custom calls).  Prefill chunks append as contiguous extent runs;
         decode rows append per token.
         """
+        from vattention_tpu.model_executor.attention.vattn_backend import (
+            VattnAttentionBackend)
+
+        k = VattnAttentionBackend._pad_heads(k, kv_cache.shape[-1])
+        v = VattnAttentionBackend._pad_heads(v, kv_cache.shape[-1])
         rows = inputs.append_rows
         if n_prefill_tokens > 0:
             pad = jnp.zeros((WINDOW,) + k.shape[1:], k.dtype)
@@ -55,6 +60,11 @@ class PagedAttentionBackend:
 
     def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,
                n_prefill_tokens: int, *, sm_scale: float):
+        from vattention_tpu.model_executor.attention.vattn_backend import (
+            VattnAttentionBackend)
+
+        D = q.shape[-1]
+        q = VattnAttentionBackend._pad_heads(q, kv_cache.shape[-1])
         outs = []
         if n_prefill_tokens > 0:
             qinfo = jnp.concatenate(
@@ -69,4 +79,5 @@ class PagedAttentionBackend:
                 inputs.dec_seqlens, layer_idx.astype(jnp.int32),
                 block_size=self.block_size, sm_scale=sm_scale,
                 max_kv_tiles=self.max_kv_tiles))
-        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return out[..., :D]

@@ -25,6 +25,8 @@ class PodAttentionBackend(VattnAttentionBackend):
                n_prefill_tokens: int, *, sm_scale: float):
         if n_prefill_tokens > 0 and inputs.pod_sched is not None \
                 and q.shape[0] > n_prefill_tokens:
+            D = q.shape[-1]
+            q = self._pad_heads(q, kv_cache.shape[-1])
             qinfo = jnp.concatenate(
                 [inputs.pre_qinfo, layer_idx.astype(jnp.int32)])
             op, od = pod_fused_attention(
@@ -34,6 +36,6 @@ class PodAttentionBackend(VattnAttentionBackend):
                 inputs.dec_seqlens, q_tile=self.q_tile,
                 kv_tile=self.kv_tile, num_segments=self.num_segments,
                 sm_scale=sm_scale)
-            return jnp.concatenate([op, od], axis=0)
+            return jnp.concatenate([op, od], axis=0)[..., :D]
         return super().attend(q, kv_cache, inputs, layer_idx,
                               n_prefill_tokens, sm_scale=sm_scale)

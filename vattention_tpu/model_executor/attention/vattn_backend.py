@@ -60,6 +60,15 @@ class VattnAttentionBackend:
                                      self.dec_kv_tile)
         self.dec_n_sub = self.dec_max_kv_tiles * self.dec_kv_fetch
 
+    @staticmethod
+    def _pad_heads(x, Dp: int):
+        """Zero-pad the head (lane) dim to the arena's 128-aligned width
+        (sub-128 head dims cannot be DMA'd; zeros are score-neutral)."""
+        D = x.shape[-1]
+        if D == Dp:
+            return x
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Dp - D)])
+
     def append_kv(self, kv_cache, k, v, inputs: StepInputs, layer_idx,
                   n_prefill_tokens: int = 0):
         """layer_idx: [1] int32 array.
@@ -70,6 +79,8 @@ class VattnAttentionBackend:
         custom calls).  Prefill chunks append as contiguous extent runs;
         decode rows append per token.
         """
+        k = self._pad_heads(k, kv_cache.shape[-1])
+        v = self._pad_heads(v, kv_cache.shape[-1])
         rows = inputs.append_rows
         if n_prefill_tokens > 0:
             pad = jnp.zeros((WINDOW,) + k.shape[1:], k.dtype)
@@ -89,6 +100,8 @@ class VattnAttentionBackend:
     def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,
                n_prefill_tokens: int, *, sm_scale: float):
         """q: [T, Hq, D] -> [T, Hq, D].  ``n_prefill_tokens`` is static."""
+        D = q.shape[-1]
+        q = self._pad_heads(q, kv_cache.shape[-1])
         outs = []
         if n_prefill_tokens > 0:
             qinfo = jnp.concatenate(
@@ -119,7 +132,8 @@ class VattnAttentionBackend:
                 seq_tile=self.decode_seq_tile(
                     Bd, kv_cache.shape[2], kv_cache.shape[4],
                     jnp.dtype(kv_cache.dtype).itemsize)))
-        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return out[..., :D]
 
     def decode_seq_tile(self, batch: int, n_kv_heads: int, head_dim: int,
                         kv_itemsize: int) -> int:

@@ -73,56 +73,65 @@ def _decode_kernel(
         m = m_ref[...]       # [bs, Hkv, G]
         l = l_ref[...]
         acc = acc_ref[...]   # [bs, Hkv, G, D]
-        for i in range(kv_fetch):
-            k = jnp.stack([kv_refs[(2 * j) * kv_fetch + i][...]
-                           for j in range(bs)])   # [bs, Hkv, sub, D]
-            v = jnp.stack([kv_refs[(2 * j + 1) * kv_fetch + i][...]
-                           for j in range(bs)])
-            # compute-dtype matmuls (bf16 MXU, f32 accumulate); fp8
-            # arena upcasts
-            if k.dtype != q.dtype:
-                k = k.astype(q.dtype)
-            # Mosaic's matmul takes ONE batch dim: fold (bs, Hkv)
-            s = jax.lax.dot_general(
-                q.reshape(bs * Hkv, G, D), k.reshape(bs * Hkv, sub, D),
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).reshape(bs, Hkv, G, sub)
-            s = s * sm_scale
-            kv_pos = (kt * kv_tile + i * sub
-                      + jax.lax.broadcasted_iota(
-                          jnp.int32, (G, sub), 1))
-            # per-member masks from SMEM scalars (scalar broadcasts are
-            # free; broadcasting a 1-D [bs] vector into leading dims is a
-            # shape cast Mosaic cannot lay out)
-            member_valid = []
+        # one wide op per tile: members stacked on a batch axis and the
+        # kv_fetch sub-tile DMAs (consecutive kv ranges) concatenated
+        # back into the contiguous tile
+        def gather(base):
+            per_member = []
             for j in range(bs):
-                kv_len = seqlens_ref[g * bs + j]
-                vj = kv_pos < kv_len
-                if window is not None:
-                    vj = jnp.logical_and(vj, kv_pos >= kv_len - window)
-                member_valid.append(vj)
-            valid = jnp.stack(member_valid)[:, None]  # [bs, 1, G, sub]
-            s = jnp.where(valid, s, MASK_VALUE)
+                parts = [kv_refs[(2 * j + base) * kv_fetch + i][...]
+                         for i in range(kv_fetch)]
+                per_member.append(
+                    parts[0] if kv_fetch == 1 else
+                    jnp.concatenate(parts, axis=1))  # [Hkv, kv_tile, D]
+            return jnp.stack(per_member)             # [bs, Hkv, kv_tile, D]
 
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-            # explicit zeroing handles fully-masked tiles (inactive slots,
-            # short members of a group running to the longest member's
-            # tile count): exp(MASK-MASK)=1 garbage must not accumulate
-            p = jnp.where(valid, jnp.exp(s - m_new[..., None]), 0.0)
-            alpha = jnp.exp(m - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1)
-            if v.dtype != q_ref.dtype:
-                v = v.astype(q_ref.dtype)
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype).reshape(bs * Hkv, G, sub),
-                v.reshape(bs * Hkv, sub, D),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).reshape(bs, Hkv, G, D)
-            acc = acc * alpha[..., None] + pv
-            m = m_new
-        m_ref[...] = m
+        k = gather(0)
+        v = gather(1)
+        # compute-dtype matmuls (bf16 MXU, f32 accumulate); fp8
+        # arena upcasts
+        if k.dtype != q.dtype:
+            k = k.astype(q.dtype)
+        # Mosaic's matmul takes ONE batch dim: fold (bs, Hkv)
+        s = jax.lax.dot_general(
+            q.reshape(bs * Hkv, G, D), k.reshape(bs * Hkv, kv_tile, D),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bs, Hkv, G, kv_tile)
+        s = s * sm_scale
+        kv_pos = (kt * kv_tile
+                  + jax.lax.broadcasted_iota(
+                      jnp.int32, (G, kv_tile), 1))
+        # per-member masks from SMEM scalars (scalar broadcasts are
+        # free; broadcasting a 1-D [bs] vector into leading dims is a
+        # shape cast Mosaic cannot lay out)
+        member_valid = []
+        for j in range(bs):
+            kv_len = seqlens_ref[g * bs + j]
+            vj = kv_pos < kv_len
+            if window is not None:
+                vj = jnp.logical_and(vj, kv_pos >= kv_len - window)
+            member_valid.append(vj)
+        valid = jnp.stack(member_valid)[:, None]  # [bs, 1, G, kv_tile]
+        s = jnp.where(valid, s, MASK_VALUE)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        # explicit zeroing handles fully-masked tiles (inactive slots,
+        # short members of a group running to the longest member's
+        # tile count): exp(MASK-MASK)=1 garbage must not accumulate
+        p = jnp.where(valid, jnp.exp(s - m_new[..., None]), 0.0)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1)
+        if v.dtype != q_ref.dtype:
+            v = v.astype(q_ref.dtype)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype).reshape(bs * Hkv, G, kv_tile),
+            v.reshape(bs * Hkv, kv_tile, D),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(bs, Hkv, G, D)
+        acc = acc * alpha[..., None] + pv
+        m_ref[...] = m_new
         l_ref[...] = l
         acc_ref[...] = acc
 

@@ -80,52 +80,53 @@ def _prefill_kernel(
     def body(masked: bool):
         q_tile_, G, D = q_ref.shape
         q = q_ref[...].reshape(q_tile * G, D)  # row = t*G + g
-        # the compute tile may arrive as several block-aligned sub-tile
-        # DMAs (extents are only block_tokens-aligned); rather than stitch
-        # them with a VMEM concatenate, run the online-softmax update once
-        # per part (cheaper: no copy, same matmul FLOPs)
         m = m_ref[0]   # [q_tile*G]
         l = l_ref[0]
         acc = acc_ref[...]
-        sub = k_refs[0].shape[0]
-        for i, (k_ref, v_ref) in enumerate(zip(k_refs, v_refs)):
-            k = k_ref[...]
-            # keep matmul inputs in the compute dtype: bf16 hits the MXU
-            # at full rate (f32 accumulate); f32 test mode stays
-            # bit-exact; fp8 arenas upcast to the query dtype
-            if k.dtype != q.dtype:
-                k = k.astype(q.dtype)
-            s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [q_tile*G, sub]
-            s = s * sm_scale
+        # the compute tile may arrive as several block-aligned sub-tile
+        # DMAs (extents are only block_tokens-aligned); the parts are
+        # CONSECUTIVE kv ranges, so a VMEM concatenate rebuilds the
+        # contiguous tile and the softmax update runs ONCE per tile --
+        # small-page configs (64-token blocks) would otherwise pay 8x the
+        # VPU bookkeeping per tile, which is what made the vattn A/B lose
+        # to paged-256 at 32K
+        k = (k_refs[0][...] if len(k_refs) == 1 else
+             jnp.concatenate([r[...] for r in k_refs], axis=0))
+        v = (v_refs[0][...] if len(v_refs) == 1 else
+             jnp.concatenate([r[...] for r in v_refs], axis=0))
+        # keep matmul inputs in the compute dtype: bf16 hits the MXU
+        # at full rate (f32 accumulate); f32 test mode stays
+        # bit-exact; fp8 arenas upcast to the query dtype
+        if k.dtype != q.dtype:
+            k = k.astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [q_tile*G, kv_tile]
+        s = s * sm_scale
 
-            if masked:
-                row = jax.lax.broadcasted_iota(
-                    jnp.int32, (q_tile * G, sub), 0)
-                q_pos = q_lo + idiv(row, G)
-                kv_pos = (tile_start + i * sub
-                          + jax.lax.broadcasted_iota(
-                              jnp.int32, (q_tile * G, sub), 1))
-                mask = jnp.logical_and(q_pos >= kv_pos, kv_pos < kv_len)
-                if window is not None:
-                    mask = jnp.logical_and(mask, kv_pos > q_pos - window)
-                s = jnp.where(mask, s, MASK_VALUE)
+        if masked:
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (q_tile * G, kv_tile), 0)
+            q_pos = q_lo + idiv(row, G)
+            kv_pos = (tile_start + jax.lax.broadcasted_iota(
+                jnp.int32, (q_tile * G, kv_tile), 1))
+            mask = jnp.logical_and(q_pos >= kv_pos, kv_pos < kv_len)
+            if window is not None:
+                mask = jnp.logical_and(mask, kv_pos > q_pos - window)
+            s = jnp.where(mask, s, MASK_VALUE)
 
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-            p = jnp.exp(s - m_new[:, None])
-            alpha = jnp.exp(m - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1)
-            v = v_ref[...]
-            if v.dtype != q.dtype:
-                v = v.astype(q.dtype)
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [q_tile*G, D]
-            acc = acc * alpha[:, None] + pv
-            m = m_new
-        m_ref[0] = m
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1)
+        if v.dtype != q.dtype:
+            v = v.astype(q.dtype)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [q_tile*G, D]
+        acc = acc * alpha[:, None] + pv
+        m_ref[0] = m_new
         l_ref[0] = l
         acc_ref[...] = acc
 

@@ -175,9 +175,14 @@ def _pod_kernel(
             o = pacc_ref[...] / l[..., None]
             op_ref[...] = o.reshape(Hkv, G, q_tile, D).astype(op_ref.dtype)
 
+    @pl.when(t == 0)
+    def _zero_od():
+        # inactive slots are never written; keep them finite
+        od_ref[...] = jnp.zeros_like(od_ref)
+
     @pl.when(phase == 1)
     def _decode():
-        Hq, D = qd_ref.shape
+        _, Hq, D = qd_ref.shape
         Hkv = k_ref.shape[0]
         G = Hq // Hkv
         b = idx
@@ -188,7 +193,7 @@ def _pod_kernel(
             dl_ref[b] = jnp.zeros_like(dl_ref[b])
             dacc_ref[b] = jnp.zeros_like(dacc_ref[b])
 
-        q = qd_ref[...].reshape(Hkv, G, D)
+        q = qd_ref[b].reshape(Hkv, G, D)
         k = k_ref[...]
         if k.dtype != q.dtype:
             k = k.astype(q.dtype)
@@ -221,7 +226,7 @@ def _pod_kernel(
             l = dl_ref[b]
             l = jnp.where(l == 0.0, 1.0, l)
             o = dacc_ref[b] / l[..., None]
-            od_ref[...] = o.reshape(Hq, D).astype(od_ref.dtype)
+            od_ref[b] = o.reshape(Hq, D).astype(od_ref.dtype)
 
 
 @functools.partial(
@@ -259,9 +264,6 @@ def pod_fused_attention(
     def qp_index(t, sched_ref, *_):
         return (0, 0, sched_ref[t, 4], 0)
 
-    def qd_index(t, sched_ref, *_):
-        return (sched_ref[t, 3], 0, 0)
-
     def kv_index(t, sched_ref, psr, psc, qinfo_ref, dsr, dsc, dsl, kv01):
         layer = qinfo_ref[2]
         phase = sched_ref[t, 0]
@@ -279,7 +281,10 @@ def pod_fused_attention(
         grid=(n_sched,),
         in_specs=[
             pl.BlockSpec((Hkv, G, q_tile, D), qp_index),
-            pl.BlockSpec((None, Hq, D), qd_index),
+            # the decode batch is small: keep it whole in VMEM and index
+            # per slot in the kernel (a blocked spec would revisit blocks
+            # in the weave's non-monotonic slot order)
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, Hkv, kv_tile, D),
                          functools.partial(kv_index, kv01=0)),
             pl.BlockSpec((None, None, Hkv, kv_tile, D),
@@ -288,8 +293,7 @@ def pod_fused_attention(
         out_specs=(
             pl.BlockSpec((Hkv, G, q_tile, D),
                          lambda t, sched_ref, *_: (0, 0, sched_ref[t, 4], 0)),
-            pl.BlockSpec((None, Hq, D),
-                         lambda t, sched_ref, *_: (sched_ref[t, 3], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((Hkv, G * q_tile), jnp.float32),      # pm

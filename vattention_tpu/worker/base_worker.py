@@ -86,15 +86,19 @@ class BaseWorker:
         cc = self.config.cache_config
         mc = self.config.model_config
         pc = self.config.parallel_config
-        kv_bytes_per_token = (mc.get_num_kv_heads(pc) * mc.get_head_size()
+        # head dim padded to the 128-lane arena alignment (cache engines)
+        head_padded = -(-mc.get_head_size() // 128) * 128
+        kv_bytes_per_token = (mc.get_num_kv_heads(pc) * head_padded
                               * mc.dtype_bytes * 2
                               * mc.get_num_layers(pc))
         # the arena can never use more than max concurrent context; use the
         # page-derived KV-block granularity (what the allocator will use),
         # plus one block of growth slack per slot
         kv_bytes_per_token_layer = (mc.get_num_kv_heads(pc)
-                                    * mc.get_head_size() * mc.dtype_bytes)
+                                    * head_padded * mc.dtype_bytes)
         block_tokens = max(1, cc.page_size // kv_bytes_per_token_layer)
+        if block_tokens > 32:  # allocator rounds to 32-row multiples
+            block_tokens -= block_tokens % 32
         per_slot_tokens = (-(-mc.max_model_len // block_tokens) + 1) \
             * block_tokens
         max_useful = (cc.max_batch_size * per_slot_tokens

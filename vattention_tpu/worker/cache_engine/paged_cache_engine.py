@@ -39,11 +39,13 @@ class PagedCacheEngine(BaseCacheEngine):
         self.num_layers = model_config.get_num_layers(parallel_config)
         self.num_kv_heads = model_config.get_num_kv_heads(parallel_config)
         self.head_size = model_config.get_head_size()
+        # 128-lane-aligned minor dim (see vattn_cache_engine)
+        self.head_size_padded = -(-self.head_size // 128) * 128
         self.block_size = cache_config.block_size
         self.max_batch_size = cache_config.max_batch_size
 
         kv_bytes_per_block = (2 * self.num_layers * self.num_kv_heads
-                              * self.head_size * self.block_size
+                              * self.head_size_padded * self.block_size
                               * (4 if dtype == jnp.float32 else 2))
         assert cache_config.memory_for_gpu is not None
         self.num_blocks = max(
@@ -60,7 +62,7 @@ class PagedCacheEngine(BaseCacheEngine):
         total_kv_heads = model_config.arch.num_kv_heads
         self.kv_cache = jnp.zeros(
             (total_layers, 2, total_kv_heads, R + self.block_size,
-             self.head_size), dtype=dtype)
+             self.head_size_padded), dtype=dtype)
         if sharding is not None:
             import jax
 
@@ -132,5 +134,10 @@ class PagedCacheEngine(BaseCacheEngine):
         return len(self.free_blocks)
 
     def cleanup(self) -> None:
+        if self.kv_cache is not None:
+            try:
+                self.kv_cache.delete()  # free HBM now, not at next gc
+            except Exception:  # noqa: BLE001 -- already donated/deleted
+                pass
         self.kv_cache = None
         self.tables.clear()

@@ -48,6 +48,11 @@ class VAttnCacheEngine(BaseCacheEngine):
         self.num_layers = model_config.get_num_layers(parallel_config)
         self.num_kv_heads = model_config.get_num_kv_heads(parallel_config)
         self.head_size = model_config.get_head_size()
+        # the arena's minor (lane) dim must be a 128-tile multiple for
+        # aligned KV DMAs; sub-128 head dims (e.g. 64) are zero-padded.
+        # Zeros are score-neutral (q.k over padded lanes adds 0; padded
+        # v lanes produce output lanes the backend slices off).
+        self.head_size_padded = -(-self.head_size // 128) * 128
         self.dtype = dtype
         self.max_batch_size = cache_config.max_batch_size
         backend = AttentionBackend.resolve(model_config.attention_backend)
@@ -70,7 +75,7 @@ class VAttnCacheEngine(BaseCacheEngine):
         self.allocator.init_kvcache(
             num_layers=self.num_layers,
             num_kv_heads=self.num_kv_heads,
-            head_size=self.head_size,
+            head_size=self.head_size_padded,
             max_batch_size=self.max_batch_size,
             max_context_length=model_config.max_model_len,
             dtype_bytes=(1 if dtype == jnp.float8_e4m3fn
@@ -105,7 +110,7 @@ class VAttnCacheEngine(BaseCacheEngine):
         self.kv_cache = jnp.zeros(
             (total_layers, 2, total_kv_heads,
              self.scratch_row + self.block_tokens,
-             self.head_size), dtype=self.dtype)
+             self.head_size_padded), dtype=self.dtype)
         self.sharding = sharding
         if sharding is not None:
             import jax
@@ -221,4 +226,9 @@ class VAttnCacheEngine(BaseCacheEngine):
 
     def cleanup(self) -> None:
         self.allocator.cleanup()
+        if self.kv_cache is not None:
+            try:
+                self.kv_cache.delete()  # free HBM now, not at next gc
+            except Exception:  # noqa: BLE001 -- already donated/deleted
+                pass
         self.kv_cache = None
