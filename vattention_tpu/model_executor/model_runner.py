@@ -331,11 +331,18 @@ class ModelRunner:
                 pre_runs[j] = (r[a], a, b - a)
         pod_sched = None
         if self.is_pod and prefills and any(dec_seqlens > 0):
-            from vattention_tpu.ops.pod_fused import build_pod_schedule
+            from vattention_tpu.ops.pod_fused import (POD_KV_LEN_LIMIT,
+                                                      build_pod_schedule)
 
-            pod_sched = build_pod_schedule(
-                n_pre, self.q_tile, self.backend.kv_tile,
-                int(pre_qinfo[1]), int(pre_qinfo[0]), dec_seqlens)
+            # deep prefill KV streams hit a Mosaic runtime fault in the
+            # fused kernel (docs/PERF.md); fall back to serial kernels
+            # (sched=None) past the validated depth -- mirrors the
+            # reference's own single-phase fallback
+            # (fused_attn_interface.py:39-77)
+            if int(pre_qinfo[1]) <= POD_KV_LEN_LIMIT:
+                pod_sched = build_pod_schedule(
+                    n_pre, self.q_tile, self.backend.kv_tile,
+                    int(pre_qinfo[1]), int(pre_qinfo[0]), dec_seqlens)
         # one batched host->device transfer for the whole pytree: through
         # the remote-dispatch tunnel, per-array device_puts cost ~2ms each
         host_inputs = StepInputs(

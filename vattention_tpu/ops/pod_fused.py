@@ -46,6 +46,13 @@ from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, icdiv, idiv,
                                       tpu_params)
 
 
+# Maximum prefill KV depth validated for the fused kernel on hardware;
+# deeper streams trip a Mosaic runtime fault (bisected on v5e: 512 ok,
+# 2048 faults even with a 256-token chunk -- see docs/PERF.md).  The
+# serving path falls back to the serial kernels beyond this.
+POD_KV_LEN_LIMIT = 1024
+
+
 def build_pod_schedule(
     n_prefill_tokens: int, q_tile: int, kv_tile: int,
     kv_len: int, q_start: int,
