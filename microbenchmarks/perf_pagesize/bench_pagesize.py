@@ -41,6 +41,7 @@ def main():
     from vattention_tpu.model_executor.step_inputs import StepInputs
     from vattention_tpu.ops.flash_decode import flash_decode
     from vattention_tpu.ops.flash_prefill import flash_prefill
+    from vattention_tpu.ops.utils import tile_rows_from_segments
 
     KB, MB = 1024, 1024 * 1024
     Hkv, Hq, D = args.kv_heads, args.q_heads, args.head_dim
@@ -90,12 +91,16 @@ def main():
             sr[b, 0] = (b * rows_per_seq) % (R - rows_per_seq)
         sc = np.zeros((B, S + 1), np.int32)
         sc[:, 1:] = -(-args.ctx // bt) * bt
+        n_tiles = -(-args.ctx // backend.wide_kv_tile)
+        tile_rows = jnp.asarray(tile_rows_from_segments(
+            sr, sc, backend.wide_kv_tile // backend.wide_kv_fetch,
+            n_tiles * backend.wide_kv_fetch))
         td = devtime(lambda q: flash_decode(
-            q, kv, jnp.asarray(sr), jnp.asarray(sc),
+            q, kv, tile_rows,
             jnp.full(B, args.ctx, jnp.int32), jnp.asarray([0], jnp.int32),
             kv_tile=backend.wide_kv_tile, kv_fetch=backend.wide_kv_fetch,
-            num_segments=S,
-            max_kv_tiles=-(-args.ctx // backend.wide_kv_tile)), qd)
+            max_kv_tiles=n_tiles,
+            seq_tile=8 if B % 8 == 0 else 1), qd)
         label = f"{page // KB}KB" if page < MB else f"{page // MB}MB"
         print(f"{label}\t{bt}\t{tp * 1e3:.3f}\t{td * 1e3:.3f}")
 

@@ -62,7 +62,8 @@ def main():
     from vattention_tpu.ops.flash_prefill import flash_prefill
     from vattention_tpu.ops.paged_attention import (paged_flash_decode,
                                                     paged_flash_prefill)
-    from vattention_tpu.ops.utils import select_kv_tile
+    from vattention_tpu.ops.utils import (select_kv_tile,
+                                          tile_rows_from_segments)
 
     Hq, Hkv, D = args.q_heads, args.kv_heads, args.head_dim
     BT = args.block_size
@@ -119,11 +120,14 @@ def main():
         dinfo = jnp.zeros((1,), jnp.int32)
         dec_bytes = B * ctx * Hkv * D * 2 * 2
 
+        n_tiles = max(1, ctx // wide)
+        tile_rows = jnp.asarray(tile_rows_from_segments(
+            srow, scum, wide // fetch, n_tiles * fetch))
+        seq_tile = 8 if B % 8 == 0 else 1
         dt = devtime(
             lambda q: flash_decode(
-                q, kv, jnp.asarray(srow), jnp.asarray(scum), seqlens,
-                dinfo, kv_tile=wide, num_segments=S,
-                max_kv_tiles=max(1, ctx // wide), kv_fetch=fetch),
+                q, kv, tile_rows, seqlens, dinfo, kv_tile=wide,
+                max_kv_tiles=n_tiles, kv_fetch=fetch, seq_tile=seq_tile),
             qd, iters=args.iters)
         emit("decode", "vattn_contig", ctx, dt, dec_bytes)
 

@@ -22,10 +22,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vattention_tpu.ops.utils import interpret_mode, tpu_params
+from vattention_tpu.ops.utils import cdiv, interpret_mode, tpu_params
 
 
 WINDOW = 32  # aligned row window (covers f32/bf16/fp8 sublane tiles)
+
+# VMEM budget for the batched-append staging windows (2 x chunk x Hkv x
+# WINDOW x D).  Batches larger than the budget allows are split across
+# grid steps instead of growing the scratch past the scoped-VMEM limit.
+APPEND_VMEM_BUDGET = 48 * 2**20
 
 
 def _rmw_batch_kernel(rows_ref, linfo_ref, k_ref, v_ref, cache_ref,
@@ -52,17 +57,18 @@ def _rmw_batch_kernel(rows_ref, linfo_ref, k_ref, v_ref, cache_ref,
     """
     del cache_ref  # aliased with out_ref
     layer = linfo_ref[0]
-    T = kwin.shape[0]
+    T = kwin.shape[0]  # tokens per grid step (chunk)
+    g = pl.program_id(0)
 
     def base_off(t):
-        row = rows_ref[t]
+        row = rows_ref[g * T + t]
         base = jnp.minimum((row // WINDOW) * WINDOW,
                            jnp.maximum(rows_total - WINDOW, 0))
         return pl.multiple_of(base, WINDOW), row - base
 
     if serialize:
         for t in range(T):
-            @pl.when(rows_ref[t] >= 0)
+            @pl.when(rows_ref[g * T + t] >= 0)
             def _(t=t):
                 base, off = base_off(t)
                 kin = pltpu.make_async_copy(
@@ -90,7 +96,7 @@ def _rmw_batch_kernel(rows_ref, linfo_ref, k_ref, v_ref, cache_ref,
         return
 
     for t in range(T):
-        @pl.when(rows_ref[t] >= 0)
+        @pl.when(rows_ref[g * T + t] >= 0)
         def _(t=t):
             base, _ = base_off(t)
             pltpu.make_async_copy(
@@ -101,7 +107,7 @@ def _rmw_batch_kernel(rows_ref, linfo_ref, k_ref, v_ref, cache_ref,
                 vwin.at[t], vsem.at[t]).start()
 
     for t in range(T):
-        @pl.when(rows_ref[t] >= 0)
+        @pl.when(rows_ref[g * T + t] >= 0)
         def _(t=t):
             base, off = base_off(t)
             pltpu.make_async_copy(
@@ -128,7 +134,7 @@ def _rmw_batch_kernel(rows_ref, linfo_ref, k_ref, v_ref, cache_ref,
                 vsem.at[t]).start()
 
     for t in range(T):
-        @pl.when(rows_ref[t] >= 0)
+        @pl.when(rows_ref[g * T + t] >= 0)
         def _(t=t):
             base, _ = base_off(t)
             pltpu.make_async_copy(
@@ -154,23 +160,33 @@ def cache_append_tokens(
 ) -> jax.Array:
     T, Hkv, D = k_new.shape
     R = kv_cache.shape[3]
+    # chunk the batch so the staging windows fit the VMEM budget
+    # (2 x chunk x Hkv x WINDOW x D of cache dtype per buffer pair)
+    per_tok = 2 * Hkv * WINDOW * D * kv_cache.dtype.itemsize
+    chunk = max(1, min(T, APPEND_VMEM_BUDGET // per_tok))
+    n_chunks = cdiv(T, chunk)
+    if n_chunks * chunk != T:
+        pad = n_chunks * chunk - T
+        k_new = jnp.pad(k_new, ((0, pad), (0, 0), (0, 0)))
+        v_new = jnp.pad(v_new, ((0, pad), (0, 0), (0, 0)))
+        rows = jnp.pad(rows, (0, pad), constant_values=-1)
     return pl.pallas_call(
         functools.partial(_rmw_batch_kernel, rows_total=R,
                           serialize=serialize),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(1,),
+            grid=(n_chunks,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, Hkv, D), lambda g, *_: (g, 0, 0)),
+                pl.BlockSpec((chunk, Hkv, D), lambda g, *_: (g, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((T, Hkv, WINDOW, D), kv_cache.dtype),
-                pltpu.VMEM((T, Hkv, WINDOW, D), kv_cache.dtype),
-                pltpu.SemaphoreType.DMA((T,)),
-                pltpu.SemaphoreType.DMA((T,)),
+                pltpu.VMEM((chunk, Hkv, WINDOW, D), kv_cache.dtype),
+                pltpu.VMEM((chunk, Hkv, WINDOW, D), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA((chunk,)),
+                pltpu.SemaphoreType.DMA((chunk,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),

@@ -135,6 +135,15 @@ def paged_flash_decode(
     need = n_tiles * kv_fetch
     if NB < need:
         tile_rows = jnp.pad(tile_rows, ((0, 0), (0, need - NB)))
+    # with kv_fetch>1 the sub-tile parts of a sequence's last wide tile
+    # would read table entries past its allocated blocks; clamp each
+    # part's index to the last valid block (its rows are masked in the
+    # kernel) so garbage/stale entries can never drive an out-of-range
+    # DMA -- no zero-fill invariant required of the caller
+    nb_valid = jnp.clip(-(-seqlens // block_size), 1, None)  # [B]
+    part_idx = jnp.minimum(jnp.arange(need, dtype=jnp.int32)[None, :],
+                           nb_valid[:, None] - 1)
+    tile_rows = jnp.take_along_axis(tile_rows, part_idx, axis=1)
     # seq streams per grid step: divisor of B nearest 8 under the
     # scoped-VMEM budget (see VattnAttentionBackend.decode_seq_tile)
     per_seq = (2 * 2 * kv_tile * Hkv * D

@@ -19,10 +19,13 @@ def get_tokenizer(model: str, **kwargs):
     import os
 
     # a checkpoint dir without tokenizer files (weights-only, e.g.
-    # sharded-load benchmarks) also runs tokenizer-less
-    has_tok = os.path.isdir(model) and (
-        glob.glob(os.path.join(model, "tokenizer*"))
-        or os.path.exists(os.path.join(model, "vocab.json")))
+    # sharded-load benchmarks) also runs tokenizer-less; cover HF-fast
+    # (tokenizer*), GPT-2 (vocab.json / vocab.txt + merges.txt) and
+    # sentencepiece (spiece.model, *.model) layouts
+    has_tok = os.path.isdir(model) and any(
+        glob.glob(os.path.join(model, pat))
+        for pat in ("tokenizer*", "vocab.json", "vocab.txt",
+                    "merges.txt", "spiece.model", "*.model"))
     if not has_tok:
         logger.info(
             "No local tokenizer for %r; running tokenizer-less "
