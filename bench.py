@@ -1,20 +1,23 @@
 """Headline benchmark: serving throughput (tokens/s/chip) on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "roofline": N}
 
 Workload: continuous-batching decode steady state on a Yi-6B-class model
-(the reference benchmark grid's tp1 model, scripts/utils.py:27-32) with
-the fa_vattn contiguous-arena backend -- B concurrent requests, each with
-a prefilled context, decoding greedily.
+(the reference benchmark grid's tp1 model, scripts/utils.py:27-32) -- B
+concurrent requests, each with a prefilled context, decoding greedily.
 
-``vs_baseline`` is measured throughput / HBM-bandwidth roofline for the
-same step (weights read once per step + each request's KV read once), so
-1.0 means the decode step runs at memory speed-of-light.  A paged
-(block-table) backend A/B lands in this harness as it comes online.
+Two backends run the SAME workload:
+  - fa_vattn (contiguous-arena) -- ``value`` is its tokens/s/chip
+  - fa_paged_256 (block-table)  -- the reference A/B baseline
+
+``vs_baseline`` = vattn tokens/s / paged tokens/s: the north-star metric
+(>= 1.1x target, BASELINE.md).  ``roofline`` = vattn tokens/s / the
+HBM-bandwidth speed-of-light for the step (weights read once + each
+request's KV read once); 1.0 means the decode step runs at memory speed.
 
 Usage: python bench.py [--quick] [--model yi-6b-200k] [--batch 32]
-       [--ctx 2048] [--steps 30]
+       [--ctx 2048] [--steps 30] [--skip-paged]
 """
 
 import os
@@ -32,35 +35,14 @@ import time
 HBM_BW = 819e9
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--quick", action="store_true",
-                   help="tiny CPU smoke run (sanity only)")
-    p.add_argument("--model", default="yi-6b-200k")
-    p.add_argument("--backend", default="fa_vattn_256kb")
-    p.add_argument("--batch", type=int, default=24)
-    p.add_argument("--ctx", type=int, default=1024)
-    p.add_argument("--decode-steps", type=int, default=20)
-    p.add_argument("--max-model-len", type=int, default=2048)
-    p.add_argument("--kv-quant", default="none",
-                   help="KV cache dtype: none | fp8")
-    args = p.parse_args()
-
-    if args.quick:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        args.model = "tiny-llama-debug"
-        args.batch, args.ctx, args.decode_steps = 2, 256, 3
-        args.max_model_len = 1024
-
+def measure(args, backend):
+    """Steady-state decode throughput (tok/s) for one backend."""
     from vattention_tpu import LLMEngine, SamplingParams
-    from vattention_tpu.config import get_model_arch
 
     engine = LLMEngine.from_engine_args(
         model=args.model,
         load_format="zero",
-        attention_backend=args.backend,
+        attention_backend=backend,
         scheduler_type="sarathi",
         chunk_size=512,
         max_model_len=args.max_model_len,
@@ -107,8 +89,39 @@ def main():
         engine.step()
     dt = time.perf_counter() - t0
     n = store.num_decode_tokens - d0
-    tokens_per_s = n / dt
-    concurrency = n / args.decode_steps
+    engine.cleanup()
+    return n / dt, n / args.decode_steps
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="tiny CPU smoke run (sanity only)")
+    p.add_argument("--model", default="yi-6b-200k")
+    p.add_argument("--backend", default="fa_vattn_256kb")
+    p.add_argument("--paged-backend", default="fa_paged_256")
+    p.add_argument("--skip-paged", action="store_true",
+                   help="roofline-only run (vs_baseline falls back to "
+                        "the roofline ratio)")
+    p.add_argument("--batch", type=int, default=24)
+    p.add_argument("--ctx", type=int, default=1024)
+    p.add_argument("--decode-steps", type=int, default=20)
+    p.add_argument("--max-model-len", type=int, default=2048)
+    p.add_argument("--kv-quant", default="none",
+                   help="KV cache dtype: none | fp8")
+    args = p.parse_args()
+
+    if args.quick:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.model = "tiny-llama-debug"
+        args.batch, args.ctx, args.decode_steps = 2, 256, 3
+        args.max_model_len = 1024
+
+    from vattention_tpu.config import get_model_arch
+
+    tokens_per_s, concurrency = measure(args, args.backend)
 
     # memory roofline for one decode step
     arch = get_model_arch(args.model)
@@ -124,17 +137,25 @@ def main():
                 * 2 * arch.num_layers * kv_dtype_bytes)
     roofline_step = (param_bytes + kv_bytes) / HBM_BW
     roofline_tps = concurrency / roofline_step if roofline_step else 1.0
-    vs_baseline = tokens_per_s / roofline_tps if roofline_tps else 0.0
+    roofline = tokens_per_s / roofline_tps if roofline_tps else 0.0
 
-    engine.cleanup()
+    if args.skip_paged:
+        vs_baseline = roofline
+        unit_ab = ""
+    else:
+        paged_tps, _ = measure(args, args.paged_backend)
+        vs_baseline = tokens_per_s / paged_tps if paged_tps else 0.0
+        unit_ab = f" vs {args.paged_backend} {paged_tps:.1f}"
+
     print(json.dumps({
         "metric": "decode_tokens_per_s_per_chip",
         "value": round(tokens_per_s, 1),
         "unit": f"tok/s ({args.model} B={args.batch} ctx={args.ctx} "
                 f"{args.backend}"
                 + (f" kv={args.kv_quant}" if args.kv_quant != "none"
-                   else "") + ")",
+                   else "") + unit_ab + ")",
         "vs_baseline": round(vs_baseline, 3),
+        "roofline": round(roofline, 3),
     }))
 
 

@@ -424,3 +424,97 @@ def test_paged_flash_decode_matches_reference():
                                np.asarray(ref[active]),
                                atol=2e-3, rtol=2e-3)
     assert np.isfinite(np.asarray(out[~active])).all()
+
+
+def test_flash_prefill_multi_matches_reference():
+    """K prefill runs in one launch == K single-run calls."""
+    from vattention_tpu.ops.flash_prefill import flash_prefill_multi
+
+    rng = np.random.default_rng(7)
+    cache = make_cache(rng)
+    q_tile = 128
+    # three runs with different extents, chunk lengths and histories;
+    # run 1's chunk is not a q_tile multiple (padded region)
+    runs = [
+        dict(extents=[(0, 512)], kv_len=512, q_start=256, chunk=256),
+        dict(extents=[(512, 256), (1280, 256)], kv_len=450, q_start=350,
+             chunk=100),
+        dict(extents=[(768, 256)], kv_len=256, q_start=0, chunk=256),
+    ]
+    K = len(runs)
+    seg_row = np.zeros((K, S), np.int32)
+    seg_cum = np.zeros((K, S + 1), np.int32)
+    qinfo = np.zeros((K, 2), np.int32)
+    qt_run = []
+    q_parts, offs = [], []
+    off = 0
+    for r, spec in enumerate(runs):
+        sr, sc = seg_tables(spec["extents"])
+        seg_row[r], seg_cum[r] = np.asarray(sr), np.asarray(sc)
+        qinfo[r] = (spec["q_start"], spec["kv_len"])
+        pad = -(-spec["chunk"] // q_tile) * q_tile
+        q_parts.append(rng.standard_normal((pad, HQ, D)))
+        offs.append(off)
+        for lqt in range(pad // q_tile):
+            qt_run.append((r, lqt))
+        off += pad
+    q = jnp.asarray(np.concatenate(q_parts), jnp.float32)
+    out = flash_prefill_multi(
+        q, cache, jnp.asarray(seg_row), jnp.asarray(seg_cum),
+        jnp.asarray(qinfo), jnp.asarray(np.array(qt_run, np.int32)),
+        jnp.asarray([1], jnp.int32), q_tile=q_tile, kv_tile=256,
+        num_segments=S, max_kv_tiles=8)
+    for r, spec in enumerate(runs):
+        k, v = gather_kv(cache, 1, spec["extents"], spec["kv_len"])
+        ref = mha_reference(
+            q[offs[r]:offs[r] + spec["chunk"]], k, v, causal=True,
+            q_start=spec["q_start"])
+        np.testing.assert_allclose(
+            np.asarray(out[offs[r]:offs[r] + spec["chunk"]]),
+            np.asarray(ref), atol=2e-3, rtol=2e-3,
+            err_msg=f"run {r}")
+
+
+def test_paged_flash_prefill_multi_matches_reference():
+    from vattention_tpu.ops.paged_attention import paged_flash_prefill_multi
+
+    rng = np.random.default_rng(8)
+    cache = make_cache(rng)
+    q_tile = 128
+    BT = 256
+    # per-run block tables over the shared pool
+    runs = [
+        dict(blocks=[0, 3, 5], kv_len=700, q_start=400, chunk=300),
+        dict(blocks=[1, 2], kv_len=384, q_start=0, chunk=384),
+    ]
+    K = len(runs)
+    NB = max(len(r["blocks"]) for r in runs)
+    tables = np.zeros((K, NB), np.int32)
+    qinfo = np.zeros((K, 2), np.int32)
+    qt_run, q_parts, offs = [], [], []
+    off = 0
+    for r, spec in enumerate(runs):
+        tables[r, :len(spec["blocks"])] = spec["blocks"]
+        qinfo[r] = (spec["q_start"], spec["kv_len"])
+        pad = -(-spec["chunk"] // q_tile) * q_tile
+        q_parts.append(rng.standard_normal((pad, HQ, D)))
+        offs.append(off)
+        for lqt in range(pad // q_tile):
+            qt_run.append((r, lqt))
+        off += pad
+    q = jnp.asarray(np.concatenate(q_parts), jnp.float32)
+    out = paged_flash_prefill_multi(
+        q, cache, jnp.asarray(tables), jnp.asarray(qinfo),
+        jnp.asarray(np.array(qt_run, np.int32)),
+        jnp.asarray([0], jnp.int32), q_tile=q_tile, block_size=BT,
+        max_kv_tiles=NB)
+    for r, spec in enumerate(runs):
+        extents = [(b * BT, BT) for b in spec["blocks"]]
+        k, v = gather_kv(cache, 0, extents, spec["kv_len"])
+        ref = mha_reference(
+            q[offs[r]:offs[r] + spec["chunk"]], k, v, causal=True,
+            q_start=spec["q_start"])
+        np.testing.assert_allclose(
+            np.asarray(out[offs[r]:offs[r] + spec["chunk"]]),
+            np.asarray(ref), atol=2e-3, rtol=2e-3,
+            err_msg=f"run {r}")

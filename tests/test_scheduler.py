@@ -52,13 +52,13 @@ def simulate_step(sched, outputs):
     sched.on_step_completed()
 
 
-def test_one_prefill_per_batch_and_chunking():
+def test_rolling_prefills_share_chunk_budget():
     sched = make_sarathi(chunk=128)
     sched.add_seq(make_seq("a", 300))
     sched.add_seq(make_seq("b", 100))
     out = sched.schedule()
     metas = out.scheduled_seq_metadata_list
-    # only one prefill admitted, chunked to the budget
+    # "a" takes the whole budget; nothing left for "b"
     assert [m.seq_id for m in metas] == ["a"]
     assert metas[0].prompt_chunk_len == 128
     simulate_step(sched, out)
@@ -66,16 +66,45 @@ def test_one_prefill_per_batch_and_chunking():
     assert [m.prompt_chunk_len for m in out.scheduled_seq_metadata_list] \
         == [128]
     simulate_step(sched, out)
-    # final chunk (44) leaves budget for nothing else (one prefill/batch)
+    # a's final chunk (44) leaves 84 budget -- rolling prefills admit "b"
+    # alongside it in the SAME batch (multi-prefill step)
     out = sched.schedule()
     assert [(m.seq_id, m.prompt_chunk_len)
-            for m in out.scheduled_seq_metadata_list] == [("a", 44)]
+            for m in out.scheduled_seq_metadata_list] \
+        == [("a", 44), ("b", 84)]
     simulate_step(sched, out)
-    # now a decodes while b prefills in the same batch
+    # now a decodes while b finishes its prompt in the same batch
+    out = sched.schedule()
+    pairs = [(m.seq_id, m.prompt_chunk_len)
+             for m in out.scheduled_seq_metadata_list]
+    assert ("a", 0) in pairs and ("b", 16) in pairs
+
+
+def test_one_prefill_per_batch_when_rolling_disabled():
+    # the reference default (enable_rolling_prefills False,
+    # sarathi_scheduler.py:41): one prefill per batch
+    sched = make_sarathi(chunk=128, enable_rolling_prefills=False)
+    sched.add_seq(make_seq("a", 100))
+    sched.add_seq(make_seq("b", 100))
+    out = sched.schedule()
+    assert [(m.seq_id, m.prompt_chunk_len)
+            for m in out.scheduled_seq_metadata_list] == [("a", 100)]
+    simulate_step(sched, out)
     out = sched.schedule()
     pairs = [(m.seq_id, m.prompt_chunk_len)
              for m in out.scheduled_seq_metadata_list]
     assert ("a", 0) in pairs and ("b", 100) in pairs
+
+
+def test_max_prefills_per_step_caps_admission():
+    sched = make_sarathi(chunk=512, max_prefills_per_step=2)
+    for sid in ("a", "b", "c", "d"):
+        sched.add_seq(make_seq(sid, 64))
+    out = sched.schedule()
+    pairs = [(m.seq_id, m.prompt_chunk_len)
+             for m in out.scheduled_seq_metadata_list]
+    # budget (512) fits all four, but the run cap admits two
+    assert pairs == [("a", 64), ("b", 64)]
 
 
 def test_decode_budget_shrinks_prefill_chunk():

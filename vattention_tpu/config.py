@@ -275,6 +275,14 @@ class BaseSchedulerConfig:
     max_num_seqs: int = 64
     max_model_len: int = 8192
     num_pipeline_stages: int = 1
+    # prefill RUNS admitted per iteration (the TPU step packs up to this
+    # many padded prompt chunks into one fused prefill-attention launch;
+    # lifts the reference sarathi one-prefill-per-batch default and lets
+    # the vLLM scheduler batch whole prompts like the reference's,
+    # sarathi-lean vllm_scheduler.py:20+).  POD's fused kernel keeps the
+    # reference single-prefill constraint; arg_utils clamps this to 1
+    # for pod backends.
+    max_prefills_per_step: int = 4
 
     @property
     def type(self) -> SchedulerType:
@@ -301,6 +309,10 @@ class VllmSchedulerConfig(BaseSchedulerConfig):
 @dataclass
 class SarathiSchedulerConfig(BaseSchedulerConfig):
     chunk_size: int = 512
+    # multiple partial prefills may share one step's chunk budget (the
+    # reference carries the same flag, sarathi_scheduler.py:41; here it
+    # defaults on because the TPU step fuses K runs into one launch)
+    enable_rolling_prefills: bool = True
     enable_dynamic_chunking_schedule: bool = False
     low_chunk_size: Optional[int] = None
     high_chunk_size: Optional[int] = None

@@ -41,7 +41,9 @@ class SarathiScheduler(BaseScheduler):
         self.chunk_schedule_max_tokens = (
             scheduler_config.chunk_schedule_max_tokens)
         self.chunk_schedule_stages = scheduler_config.chunk_schedule_stages
-        self.enable_rolling_prefills = False
+        self.enable_rolling_prefills = (
+            scheduler_config.enable_rolling_prefills)
+        self.max_prefills_per_step = scheduler_config.max_prefills_per_step
 
         if self.enable_dynamic_chunking_schedule:
             assert self.chunk_schedule_stages > 0
@@ -124,14 +126,19 @@ class SarathiScheduler(BaseScheduler):
                 scheduled.append(SequenceScheduleMetadata.from_sequence(seq))
 
         # Phase 1b: running prefills (memory already allocated, ref :188-211)
+        num_prefills = 0
         for seq in running_prefills:
             assert not seq.prompt_processing_finished
+            if num_prefills >= self.max_prefills_per_step:
+                running.append(seq)
+                continue
             next_num = self._get_seq_next_num_prefill_tokens(
                 seq, batch_contains_prefill, num_batched_tokens)
             if next_num == 0:
                 running.append(seq)
                 continue
             batch_contains_prefill = True
+            num_prefills += 1
             num_batched_tokens += next_num
             scheduled.append(SequenceScheduleMetadata.from_sequence(
                 seq, prompt_chunk_len=next_num))
@@ -149,6 +156,8 @@ class SarathiScheduler(BaseScheduler):
                 break
             if len(running) >= self.scheduler_config.max_num_seqs:
                 break
+            if num_prefills >= self.max_prefills_per_step:
+                break
             next_num = self._get_seq_next_num_prefill_tokens(
                 seq, batch_contains_prefill, num_batched_tokens)
             if next_num == 0:
@@ -156,6 +165,7 @@ class SarathiScheduler(BaseScheduler):
             seq = self.waiting.pop(0)
             self._allocate(seq)
             batch_contains_prefill = True
+            num_prefills += 1
             num_batched_tokens += next_num
             scheduled.append(SequenceScheduleMetadata.from_sequence(
                 seq, prompt_chunk_len=next_num))

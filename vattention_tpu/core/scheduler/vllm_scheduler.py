@@ -36,10 +36,13 @@ class VLLMScheduler(BaseScheduler):
         if isinstance(self.block_manager, vAttentionBlockSpaceManager):
             self.block_manager.clear_promised_blocks()
 
-        # Prefill phase: admit whole prompts while they fit (one prefill
-        # per step on the TPU build -- single compiled prefill region)
+        # Prefill phase: admit whole prompts while they fit, up to the
+        # per-step run budget (ref batches many prompts per iteration,
+        # vllm_scheduler.py:20+; the TPU step fuses the K padded chunks
+        # into one prefill-attention launch, flash_prefill_multi)
         num_batched_tokens = 0
-        while self.waiting and not scheduled:
+        max_prefills = self.scheduler_config.max_prefills_per_step
+        while self.waiting and len(scheduled) < max_prefills:
             seq = self.waiting[0]
             if seq.arrival_time > now:
                 break

@@ -34,6 +34,7 @@ class EngineArgs:
     # scheduler
     scheduler_type: str = "sarathi"
     max_num_seqs: int = 64
+    max_prefills_per_step: int = 4
     chunk_size: int = 512
     max_batched_tokens: Optional[int] = None
     enable_dynamic_chunking_schedule: bool = False
@@ -71,8 +72,16 @@ class EngineArgs:
             pipeline_parallel_size=self.pipeline_parallel_size,
             tensor_parallel_size=self.tensor_parallel_size)
         max_model_len = model_config.max_model_len
+        from vattention_tpu.model_executor.attention import (
+            AttentionBackend)
+
+        # POD's fused kernel keeps the reference wrapper's
+        # single-prefill-per-step constraint (pod_wrapper.py:74-75)
+        max_prefills = (1 if AttentionBackend.is_pod(self.attention_backend)
+                        else self.max_prefills_per_step)
         common = dict(max_num_seqs=self.max_num_seqs,
                       max_model_len=max_model_len,
+                      max_prefills_per_step=max_prefills,
                       num_pipeline_stages=self.pipeline_parallel_size)
         st = self.scheduler_type.lower()
         if st == "sarathi":

@@ -12,7 +12,7 @@ from vattention_tpu.ops.cache_append import (WINDOW,
                                              cache_append_run,
                                              cache_append_tokens)
 from vattention_tpu.ops.paged_attention import (paged_flash_decode,
-                                                paged_flash_prefill)
+                                                paged_flash_prefill_multi)
 from vattention_tpu.ops.utils import cdiv
 
 
@@ -67,10 +67,10 @@ class PagedAttentionBackend:
         q = VattnAttentionBackend._pad_heads(q, kv_cache.shape[-1])
         outs = []
         if n_prefill_tokens > 0:
-            qinfo = jnp.concatenate(
-                [inputs.pre_qinfo, layer_idx.astype(jnp.int32)])
-            outs.append(paged_flash_prefill(
-                q[:n_prefill_tokens], kv_cache, inputs.pre_seg_row, qinfo,
+            outs.append(paged_flash_prefill_multi(
+                q[:n_prefill_tokens], kv_cache, inputs.pre_seg_row,
+                inputs.pre_qinfo, inputs.qt_run,
+                layer_idx.astype(jnp.int32),
                 q_tile=self.q_tile, block_size=self.block_size,
                 sm_scale=sm_scale, max_kv_tiles=self.max_kv_tiles))
         if q.shape[0] > n_prefill_tokens:

@@ -17,7 +17,8 @@ from vattention_tpu.ops.cache_append import (WINDOW,
                                              cache_append_run,
                                              cache_append_tokens)
 from vattention_tpu.ops.flash_decode import flash_decode
-from vattention_tpu.ops.flash_prefill import flash_prefill
+from vattention_tpu.ops.flash_prefill import (flash_prefill,
+                                              flash_prefill_multi)
 from vattention_tpu.ops.utils import (cdiv, select_kv_tile,
                                       tile_rows_from_segments_jnp)
 
@@ -104,11 +105,11 @@ class VattnAttentionBackend:
         q = self._pad_heads(q, kv_cache.shape[-1])
         outs = []
         if n_prefill_tokens > 0:
-            qinfo = jnp.concatenate(
-                [inputs.pre_qinfo, layer_idx.astype(jnp.int32)])
-            outs.append(flash_prefill(
+            outs.append(flash_prefill_multi(
                 q[:n_prefill_tokens], kv_cache,
-                inputs.pre_seg_row, inputs.pre_seg_cum, qinfo,
+                inputs.pre_seg_row, inputs.pre_seg_cum,
+                inputs.pre_qinfo, inputs.qt_run,
+                layer_idx.astype(jnp.int32),
                 q_tile=self.q_tile, kv_tile=self.wide_kv_tile,
                 num_segments=self.num_segments, sm_scale=sm_scale,
                 max_kv_tiles=self.wide_max_kv_tiles,

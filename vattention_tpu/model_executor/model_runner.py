@@ -99,6 +99,8 @@ class ModelRunner:
                     is_leaf=lambda x: isinstance(
                         x, jax.sharding.PartitionSpec)))
         self.q_tile = 128
+        self.max_prefills = getattr(
+            config.scheduler_config, "max_prefills_per_step", 4)
         self.chunk_budget = round_up(
             config.scheduler_config.get_max_num_batched_tokens(
                 config.model_config.max_model_len), self.q_tile)
@@ -239,27 +241,27 @@ class ModelRunner:
         ce = self.cache_engine
         prefills = [m for m in seq_metadata_list if m.is_prompt]
         decodes = [m for m in seq_metadata_list if not m.is_prompt]
-        assert len(prefills) <= 1, (
-            "one prefill chunk per step (scheduler contract)")
+        K_max = self.max_prefills
+        assert len(prefills) <= K_max, (
+            f"{len(prefills)} prefill runs > max_prefills_per_step "
+            f"{K_max} (scheduler contract)")
 
-        if prefills:
-            chunk = prefills[0].prompt_chunk_len
-            n_pre = min(round_up(max(chunk, 1), self.q_tile),
-                        max(self.chunk_budget, round_up(chunk, self.q_tile)))
-            # whole-prompt schedulers can exceed the sarathi budget
-            n_pre = round_up(chunk, self.q_tile)
-        else:
-            chunk = 0
-            n_pre = 0
+        # each prefill run padded to the q tile; runs concatenated
+        chunks = [m.prompt_chunk_len for m in prefills]
+        pads = [round_up(max(c, 1), self.q_tile) for c in chunks]
+        run_offs = np.concatenate(
+            [[0], np.cumsum(pads)]).astype(np.int64)
+        n_pre = int(run_offs[-1])
         B, S = self.B, self.S
         T = n_pre + B
 
         token_ids = np.zeros(T, np.int32)
         positions = np.zeros(T, np.int32)
         append_rows = np.full(T, -1, np.int32)
-        pre_seg_row = np.zeros(S, np.int32)
-        pre_seg_cum = np.zeros(S + 1, np.int32)
-        pre_qinfo = np.zeros(2, np.int32)
+        pre_seg_row = np.zeros((K_max, S), np.int32)
+        pre_seg_cum = np.zeros((K_max, S + 1), np.int32)
+        pre_qinfo = np.zeros((K_max, 2), np.int32)
+        qt_run = np.zeros((n_pre // self.q_tile, 2), np.int32)
         dec_seqlens = np.zeros(B, np.int32)
         sample_idx = np.full(B, -1, np.int32)
         temperatures = np.ones(B, np.float32)
@@ -267,30 +269,34 @@ class ModelRunner:
         top_k = np.full(B, -1, np.int32)
         use_prev_tok = np.zeros(B, bool)
 
-        if prefills:
-            meta = prefills[0]
+        seg_row_all, seg_tok_all = ce.get_batch_segments()
+        for i, meta in enumerate(prefills):
+            chunk = chunks[i]
+            off = int(run_offs[i])
             seq = meta.seq
             slot = ce.slot_of(meta.seq_id)
             processed = seq.get_num_prompt_tokens_processed()
             ids = seq.get_next_prompt_chunk_token_ids(chunk)
-            token_ids[:chunk] = ids
-            positions[:chunk] = np.arange(processed, processed + chunk)
-            append_rows[:chunk] = ce.get_slot_rows(slot, processed, chunk)
-            seg_row, seg_tok = ce.get_batch_segments()
-            pre_seg_row[:] = seg_row[slot]
-            pre_seg_cum[1:] = np.cumsum(seg_tok[slot])
-            pre_qinfo[:] = (processed, processed + chunk)
+            token_ids[off:off + chunk] = ids
+            positions[off:off + chunk] = np.arange(
+                processed, processed + chunk)
+            append_rows[off:off + chunk] = ce.get_slot_rows(
+                slot, processed, chunk)
+            pre_seg_row[i] = seg_row_all[slot]
+            pre_seg_cum[i, 1:] = np.cumsum(seg_tok_all[slot])
+            pre_qinfo[i] = (processed, processed + chunk)
+            for lqt in range(pads[i] // self.q_tile):
+                qt_run[off // self.q_tile + lqt] = (i, lqt)
             if processed + chunk == seq.get_prompt_len():
-                sample_idx[slot] = chunk - 1
+                sample_idx[slot] = off + chunk - 1
                 sp = seq.sampling_params
                 temperatures[slot] = sp.temperature
                 top_p[slot] = sp.top_p
                 top_k[slot] = sp.top_k
 
-        seg_row, seg_tok = ce.get_batch_segments()
-        dec_seg_row = seg_row.astype(np.int32)
+        dec_seg_row = seg_row_all.astype(np.int32)
         dec_seg_cum = np.zeros((B, S + 1), np.int32)
-        dec_seg_cum[:, 1:] = np.cumsum(seg_tok, axis=1)
+        dec_seg_cum[:, 1:] = np.cumsum(seg_tok_all, axis=1)
         dec_tile_rows = None
         if hasattr(self.backend, "dec_sub"):
             from vattention_tpu.ops.utils import tile_rows_from_segments
@@ -319,18 +325,24 @@ class ModelRunner:
             top_p[slot] = sp.top_p
             top_k[slot] = sp.top_k
 
-        pre_runs = np.zeros((S, 3), np.int32)
-        if prefills:
-            # decompose the chunk's arena rows into contiguous runs
-            r = append_rows[:chunk]
+        pre_runs = np.zeros((K_max * S, 3), np.int32)
+        nrun = 0
+        for i in range(len(prefills)):
+            # decompose each chunk's arena rows into contiguous runs;
+            # src_tok indexes the (padded) prefill token region
+            chunk = chunks[i]
+            off = int(run_offs[i])
+            r = append_rows[off:off + chunk]
             breaks = np.nonzero(np.diff(r) != 1)[0] + 1
             starts = np.concatenate([[0], breaks])
             ends = np.concatenate([breaks, [chunk]])
-            assert len(starts) <= S, "chunk crosses more extents than S"
-            for j, (a, b) in enumerate(zip(starts, ends)):
-                pre_runs[j] = (r[a], a, b - a)
+            assert nrun + len(starts) <= K_max * S, (
+                "chunks cross more extents than the run budget")
+            for a, b in zip(starts, ends):
+                pre_runs[nrun] = (r[a], off + a, b - a)
+                nrun += 1
         pod_sched = None
-        if self.is_pod and prefills and any(dec_seqlens > 0):
+        if self.is_pod and len(prefills) == 1 and any(dec_seqlens > 0):
             from vattention_tpu.ops.pod_fused import (POD_KV_LEN_LIMIT,
                                                       build_pod_schedule)
 
@@ -339,10 +351,11 @@ class ModelRunner:
             # (sched=None) past the validated depth -- mirrors the
             # reference's own single-phase fallback
             # (fused_attn_interface.py:39-77)
-            if int(pre_qinfo[1]) <= POD_KV_LEN_LIMIT:
+            if int(pre_qinfo[0, 1]) <= POD_KV_LEN_LIMIT:
                 pod_sched = build_pod_schedule(
                     n_pre, self.q_tile, self.backend.kv_tile,
-                    int(pre_qinfo[1]), int(pre_qinfo[0]), dec_seqlens)
+                    int(pre_qinfo[0, 1]), int(pre_qinfo[0, 0]),
+                    dec_seqlens)
         # one batched host->device transfer for the whole pytree: through
         # the remote-dispatch tunnel, per-array device_puts cost ~2ms each
         host_inputs = StepInputs(
@@ -364,6 +377,7 @@ class ModelRunner:
             pod_sched=pod_sched,
             pre_runs=pre_runs if prefills else None,
             use_prev_tok=use_prev_tok,
+            qt_run=qt_run if prefills else None,
         )
         return jax.device_put(host_inputs), n_pre
 

@@ -6,7 +6,9 @@ flattened tokens, extent tables, sampling params -- is carried in arrays
 of static shape.  The token layout mirrors the reference's batch-ordering
 contract (prefills before decodes, model_runner.py:79-106):
 
-    [0, n_prefill_tokens)            one sequence's prompt chunk (padded)
+    [0, n_prefill_tokens)            up to K sequences' prompt chunks,
+                                     each padded to the q tile (run k at
+                                     [pre_off[k], pre_off[k]+chunk_k))
     [n_prefill_tokens, n_pre + B)    one decode token per batch SLOT
                                      (slot b at index n_pre + b)
 
@@ -26,10 +28,12 @@ class StepInputs(NamedTuple):
     token_ids: jax.Array       # [T] int32
     positions: jax.Array       # [T] int32
     append_rows: jax.Array     # [T] int32 arena row per token (-1 = skip)
-    # prefill metadata (one sequence per step; zeroed when absent)
-    pre_seg_row: jax.Array     # [S] int32
-    pre_seg_cum: jax.Array     # [S+1] int32
-    pre_qinfo: jax.Array       # [2] int32 (q_start, kv_len)
+    # prefill metadata, one row per prefill RUN (K runs per step;
+    # unused rows zeroed).  For the paged backend pre_seg_row holds the
+    # per-run block tables instead of extent rows.
+    pre_seg_row: jax.Array     # [K, S] int32
+    pre_seg_cum: jax.Array     # [K, S+1] int32
+    pre_qinfo: jax.Array       # [K, 2] int32 (q_start, kv_len)
     # decode metadata (slot-indexed)
     dec_seg_row: jax.Array     # [B, S] int32
     dec_seg_cum: jax.Array     # [B, S+1] int32
@@ -51,6 +55,10 @@ class StepInputs(NamedTuple):
     # splices it in from the persistent device token buffer, so the
     # decode critical path never waits on a device->host round trip
     use_prev_tok: jax.Array = None  # [B] bool
+    # per-q-tile run table for multi-prefill steps: qt_run[qt] =
+    # (run index, local q-tile index within the run); None on
+    # decode-only steps
+    qt_run: jax.Array = None   # [n_pre//q_tile, 2] int32
     # host-resolved arena row of each decode KV sub-tile start
     # (ops/utils.tile_rows_from_segments); spares the decode kernel's
     # index_maps an unrolled segment walk per (seq, tile).  None falls

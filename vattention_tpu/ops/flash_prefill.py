@@ -44,18 +44,28 @@ def _prefill_kernel(
     # scratch
     m_ref, l_ref, acc_ref,
     *, q_tile: int, kv_tile: int, num_segments: int, sm_scale: float,
-    window: int | None = None,
+    window: int | None = None, qt_run_ref=None,
 ):
     if not isinstance(k_refs, (tuple, list)):
         k_refs, v_refs = (k_refs,), (v_refs,)
     qt = pl.program_id(1)
     kt = pl.program_id(2)
-    q_start = qinfo_ref[0]          # absolute position of q token 0
-    kv_len = qinfo_ref[1]           # total kv rows to attend (history+chunk)
+    if qt_run_ref is None:
+        # single run: qinfo is [>=2] (q_start, kv_len, ...)
+        q_start = qinfo_ref[0]      # absolute position of q token 0
+        kv_len = qinfo_ref[1]       # total kv rows to attend (history+chunk)
+        lqt = qt
+    else:
+        # multi-run: each q tile belongs to one prefill run (sequence);
+        # qt_run[qt] = (run, local q-tile index), qinfo is [K, 2]
+        r = qt_run_ref[qt, 0]
+        lqt = qt_run_ref[qt, 1]
+        q_start = qinfo_ref[r, 0]
+        kv_len = qinfo_ref[r, 1]
 
     n_kv_tiles = jnp.maximum(1, icdiv(kv_len, kv_tile))
     # last tile this q tile may see under causality
-    q_lo = q_start + qt * q_tile
+    q_lo = q_start + lqt * q_tile
     q_last_pos = q_lo + q_tile - 1
     diag_tile = jnp.minimum(idiv(q_last_pos, kv_tile),
                             n_kv_tiles - 1)
@@ -240,5 +250,108 @@ def flash_prefill(
         compiler_params=tpu_params(("parallel", "parallel", "arbitrary")),
         interpret=interpret_mode(),
     )(seg_row, seg_cum, qinfo, q_blk,
+      *([kv_cache] * (2 * kv_fetch)))
+    return out.reshape(Tq, Hq, D)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("q_tile", "kv_tile", "num_segments",
+                     "sm_scale", "max_kv_tiles", "window", "kv_fetch"))
+def flash_prefill_multi(
+    q: jax.Array,            # [Tq, Hq, D], Tq % q_tile == 0
+    kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
+    seg_row: jax.Array,      # [K, S] int32 per-run extent start rows
+    seg_cum: jax.Array,      # [K, S+1] int32 per-run cumulative tokens
+    qinfo: jax.Array,        # [K, 2] int32 per-run (q_start, kv_len)
+    qt_run: jax.Array,       # [Tq//q_tile, 2] int32 (run, local q-tile)
+    linfo: jax.Array,        # [1] int32 (layer,)
+    *,
+    q_tile: int = 128,
+    kv_tile: int = 512,
+    num_segments: int = 8,
+    sm_scale: float | None = None,
+    max_kv_tiles: int | None = None,
+    window: int | None = None,
+    kv_fetch: int = 1,
+) -> jax.Array:
+    """Multi-sequence chunked prefill in ONE kernel launch.
+
+    Lifts the reference's one-prefill-per-iteration contract (its vLLM
+    scheduler batches many whole prompts per step,
+    sarathi-lean/sarathi/core/scheduler/vllm_scheduler.py:20+): the q
+    region is a concatenation of K runs, each padded to ``q_tile``, and a
+    host-built per-q-tile table maps grid position -> (run, local tile).
+    Each run attends its OWN extent chain / causal frontier, so K prompts
+    cost one launch (the per-seq Python loop of the reference's wrapper,
+    vattention_flashattention_wrapper.py:125-181, becomes grid steps).
+    """
+    Tq, Hq, D = q.shape
+    L, _, Hkv, R, _ = kv_cache.shape
+    assert Tq % q_tile == 0, (Tq, q_tile)
+    assert kv_tile % kv_fetch == 0
+    sub = kv_tile // kv_fetch
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    if max_kv_tiles is None:
+        max_kv_tiles = cdiv(R, kv_tile)
+    n_q_tiles = Tq // q_tile
+    G = Hq // Hkv
+    q_blk = q.reshape(Tq // q_tile, q_tile, Hkv, G, D)
+
+    def kv_index_map(h, qt, kt, qt_run_ref, qinfo_ref, seg_row_ref,
+                     seg_cum_ref, linfo_ref, kv01, part):
+        r = qt_run_ref[qt, 0]
+        lqt = qt_run_ref[qt, 1]
+        layer = linfo_ref[0]
+        kv_len = qinfo_ref[r, 1]
+        n_kv_tiles = jnp.maximum(1, icdiv(kv_len, kv_tile))
+        q_last_pos = qinfo_ref[r, 0] + (lqt + 1) * q_tile - 1
+        diag_tile = jnp.minimum(idiv(q_last_pos, kv_tile), n_kv_tiles - 1)
+        t_eff = jnp.minimum(kt, diag_tile)  # clamp: repeats elide the DMA
+        row = seg_row_lookup(t_eff * kv_tile + part * sub, seg_row_ref,
+                             seg_cum_ref, num_segments, prefix=(r,))
+        return (layer, kv01, h, idiv(row, sub), 0)
+
+    kv_specs = [
+        pl.BlockSpec((None, None, None, sub, D),
+                     functools.partial(kv_index_map, kv01=kv01, part=p))
+        for kv01 in (0, 1) for p in range(kv_fetch)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(Hkv, n_q_tiles, max_kv_tiles),
+        in_specs=[
+            pl.BlockSpec((None, q_tile, None, G, D),
+                         lambda h, qt, kt, *_: (qt, 0, h, 0, 0)),
+            *kv_specs,
+        ],
+        out_specs=pl.BlockSpec((None, q_tile, None, G, D),
+                               lambda h, qt, kt, *_: (qt, 0, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, q_tile * G), jnp.float32),     # m
+            pltpu.VMEM((1, q_tile * G), jnp.float32),     # l
+            pltpu.VMEM((q_tile * G, D), jnp.float32),     # acc
+        ],
+    )
+
+    def kernel(qt_run_ref, qinfo_ref, seg_row_ref, seg_cum_ref,
+               linfo_ref, q_ref, *rest):
+        kv_refs, (out_ref, m_ref, l_ref, acc_ref) = \
+            rest[:2 * kv_fetch], rest[2 * kv_fetch:]
+        _prefill_kernel(seg_row_ref, seg_cum_ref, qinfo_ref, q_ref,
+                        tuple(kv_refs[:kv_fetch]), tuple(kv_refs[kv_fetch:]),
+                        out_ref, m_ref, l_ref, acc_ref,
+                        q_tile=q_tile, kv_tile=kv_tile,
+                        num_segments=num_segments, sm_scale=sm_scale,
+                        window=window, qt_run_ref=qt_run_ref)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q_blk.shape, q.dtype),
+        compiler_params=tpu_params(("parallel", "parallel", "arbitrary")),
+        interpret=interpret_mode(),
+    )(qt_run, qinfo, seg_row, seg_cum, linfo, q_blk,
       *([kv_cache] * (2 * kv_fetch)))
     return out.reshape(Tq, Hq, D)

@@ -102,6 +102,86 @@ def paged_flash_prefill(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("q_tile", "block_size", "max_kv_tiles", "sm_scale"))
+def paged_flash_prefill_multi(
+    q: jax.Array,             # [Tq, Hq, D], Tq % q_tile == 0
+    kv_cache: jax.Array,      # [L, 2, Hkv, R, D]
+    block_tables: jax.Array,  # [K, NB] int32 per-run block tables
+    qinfo: jax.Array,         # [K, 2] int32 per-run (q_start, kv_len)
+    qt_run: jax.Array,        # [Tq//q_tile, 2] int32 (run, local q-tile)
+    linfo: jax.Array,         # [1] int32 (layer,)
+    *,
+    q_tile: int = 128,
+    block_size: int = 256,
+    sm_scale: float | None = None,
+    max_kv_tiles: int | None = None,
+) -> jax.Array:
+    """K prompts' chunks in one launch (paged twin of
+    flash_prefill_multi; see that docstring for the run-table design)."""
+    Tq, Hq, D = q.shape
+    L, _, Hkv, R, _ = kv_cache.shape
+    kv_tile = block_size
+    assert Tq % q_tile == 0
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    if max_kv_tiles is None:
+        max_kv_tiles = block_tables.shape[1]
+    n_q_tiles = Tq // q_tile
+    G = Hq // Hkv
+    q_blk = q.reshape(Tq // q_tile, q_tile, Hkv, G, D)
+
+    def kv_index_map(h, qt, kt, qt_run_ref, qinfo_ref, table_ref,
+                     linfo_ref, kv01):
+        r = qt_run_ref[qt, 0]
+        lqt = qt_run_ref[qt, 1]
+        layer = linfo_ref[0]
+        kv_len = qinfo_ref[r, 1]
+        n_kv_tiles = jnp.maximum(1, icdiv(kv_len, kv_tile))
+        q_last_pos = qinfo_ref[r, 0] + (lqt + 1) * q_tile - 1
+        diag_tile = jnp.minimum(idiv(q_last_pos, kv_tile),
+                                n_kv_tiles - 1)
+        t_eff = jnp.minimum(kt, diag_tile)
+        return (layer, kv01, h, table_ref[r, t_eff], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Hkv, n_q_tiles, max_kv_tiles),
+        in_specs=[
+            pl.BlockSpec((None, q_tile, None, G, D),
+                         lambda h, qt, kt, *_: (qt, 0, h, 0, 0)),
+            pl.BlockSpec((None, None, None, kv_tile, D),
+                         functools.partial(kv_index_map, kv01=0)),
+            pl.BlockSpec((None, None, None, kv_tile, D),
+                         functools.partial(kv_index_map, kv01=1)),
+        ],
+        out_specs=pl.BlockSpec((None, q_tile, None, G, D),
+                               lambda h, qt, kt, *_: (qt, 0, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, q_tile * G), jnp.float32),
+            pltpu.VMEM((1, q_tile * G), jnp.float32),
+            pltpu.VMEM((q_tile * G, D), jnp.float32),
+        ],
+    )
+
+    def kernel(qt_run_ref, qinfo_ref, table_ref, linfo_ref, q_ref,
+               k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref):
+        _prefill_kernel(table_ref, table_ref, qinfo_ref, q_ref, k_ref,
+                        v_ref, out_ref, m_ref, l_ref, acc_ref,
+                        q_tile=q_tile, kv_tile=kv_tile, num_segments=0,
+                        sm_scale=sm_scale, qt_run_ref=qt_run_ref)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q_blk.shape, q.dtype),
+        compiler_params=tpu_params(("parallel", "parallel", "arbitrary")),
+        interpret=interpret_mode(),
+    )(qt_run, qinfo, block_tables, linfo, q_blk, kv_cache, kv_cache)
+    return out.reshape(Tq, Hq, D)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("block_size", "max_kv_tiles", "sm_scale"))
 def paged_flash_decode(
     q: jax.Array,            # [B, Hq, D]
