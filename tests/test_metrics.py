@@ -1,0 +1,76 @@
+"""Observability: per-op rows, host-phase timings, allocator series.
+
+ref: the reference's MetricsStore attaches CudaTimers to every op
+(metrics/cuda_timer.py:10-67) and records ~40 distributions
+(metrics_store.py:281-535); BASELINE.md adds KV-alloc latency and the
+<1% fragmentation-overhead north star as first-class serving metrics.
+"""
+
+import numpy as np
+
+from vattention_tpu import LLMEngine, SamplingParams
+
+
+def _drain(engine, max_steps=500):
+    steps = 0
+    while engine.has_unfinished_requests():
+        engine.step()
+        steps += 1
+        assert steps < max_steps
+    return steps
+
+
+def test_serving_metrics_and_op_rows():
+    engine = LLMEngine.from_engine_args(
+        model="tiny-llama-debug",
+        attention_backend="fa_vattn",
+        scheduler_type="sarathi",
+        chunk_size=128,
+        max_model_len=512,
+        max_batch_size=4,
+        max_num_seqs=4,
+        write_metrics=True,
+        output_dir="/tmp/vattn_metrics_test",
+    )
+    rng = np.random.default_rng(3)
+    for i, n in enumerate([150, 80]):
+        engine.add_request(
+            prompt=None, prompt_token_ids=rng.integers(1, 2000, n).tolist(),
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=6, ignore_eos=True),
+            seq_id=f"s{i}")
+    _drain(engine)
+    ops = engine.worker.profile_op_level(ctx=256, iters=2)
+    store = engine.metrics_store
+    summary = store.summary()
+
+    # per-op device rows (OperationMetrics wired, VERDICT r2 item 8)
+    for op in ("attn_prefill", "attn_decode", "attn_kv_cache_save",
+               "attn_pre_proj", "mlp_up_proj", "sample"):
+        assert op in ops and ops[op] > 0, op
+        assert op in summary["operation_times"], op
+
+    # host-phase rows (CpuOperationMetrics)
+    cpu = summary["cpu_operation_times"]
+    for op in ("schedule", "kv_cache_step", "prepare_inputs_e2e"):
+        assert op in cpu and cpu[op]["count"] > 0, op
+
+    # KV-alloc latency (BASELINE metric): per-step blocking time of the
+    # arena commit path, recorded every iteration
+    assert cpu["kv_cache_step"]["count"] >= 5
+
+    # fragmentation overhead stays under the 1% north star on this run
+    frag = summary["fragmentation_overhead"]
+    assert frag["count"] > 0
+    assert frag["max"] < 0.01, frag
+
+    store.plot()
+    import os
+
+    assert os.path.exists(
+        "/tmp/vattn_metrics_test/operation_attn_decode.csv")
+    assert os.path.exists(
+        "/tmp/vattn_metrics_test/fragmentation_overhead.csv")
+    engine.cleanup()
+    from vattention_tpu.metrics.metrics_store import MetricsStore
+    MetricsStore._instance = None

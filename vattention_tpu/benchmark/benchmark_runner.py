@@ -71,6 +71,10 @@ class BenchmarkRunner:
     def run(self) -> dict:
         if self.warmup:
             self._warmup()
+        if self.engine.config.metrics_config.enable_op_level_metrics:
+            # per-op device rows (ref CudaTimer-per-op mode); measured
+            # once at serving shapes, not per step
+            self.engine.worker.profile_op_level()
         requests = (self.requests if self.requests is not None
                     else self.generator.generate())
         base = time.monotonic()

@@ -46,6 +46,7 @@ class EngineArgs:
     write_metrics: bool = False
     output_dir: str = "benchmark_output"
     enable_chrome_trace: bool = False
+    enable_op_level_metrics: bool = False
     # execution
     enable_async_execution: bool = True
     max_inflight_steps: int = 2
@@ -107,7 +108,8 @@ class EngineArgs:
             raise ValueError(f"unknown scheduler {self.scheduler_type!r}")
         metrics_config = MetricsConfig(
             write_metrics=self.write_metrics, output_dir=self.output_dir,
-            enable_chrome_trace=self.enable_chrome_trace)
+            enable_chrome_trace=self.enable_chrome_trace,
+            enable_op_level_metrics=self.enable_op_level_metrics)
         # block size must match the allocator's page-derived block tokens
         return SystemConfig(
             model_config=model_config, cache_config=cache_config,

@@ -122,7 +122,14 @@ class BaseLLMEngine:
             self.scheduler.block_manager.set_free_blocks(
                 self.worker.get_free_blocks())
 
+        import time as _time
+
+        from vattention_tpu.metrics.constants import CpuOperationMetrics
+
+        _t0 = _time.perf_counter()
         scheduler_outputs = self.scheduler.schedule()
+        self.metrics_store.push_cpu_operation_time(
+            CpuOperationMetrics.SCHEDULE, _time.perf_counter() - _t0)
         if scheduler_outputs.has_no_output():
             if self.worker.has_inflight_steps():
                 return self._process_resolved(self.worker.flush_inflight())
@@ -171,6 +178,11 @@ class BaseLLMEngine:
         """Apply materialized sampler outputs of previously dispatched
         steps: patch token values, run value-dependent stop checks, free
         finished sequences, and emit their RequestOutputs."""
+        import time as _time
+
+        from vattention_tpu.metrics.constants import CpuOperationMetrics
+
+        _t0 = _time.perf_counter()
         outputs: List[RequestOutput] = []
         for scheduler_outputs, seq_metadata_list, sampler_outputs in resolved:
             self.seq_manager.on_step_resolved(sampler_outputs)
@@ -187,6 +199,10 @@ class BaseLLMEngine:
                     self.metrics_store.on_request_end(seq)
             outputs += self.seq_manager.generate_request_outputs(
                 [], seq_metadata_list)
+        if resolved:
+            self.metrics_store.push_cpu_operation_time(
+                CpuOperationMetrics.PROCESS_MODEL_OUTPUTS,
+                _time.perf_counter() - _t0)
         return outputs
 
     def _on_step_completed(self, scheduler_outputs: SchedulerOutputs,

@@ -113,6 +113,16 @@ class MetricsStore:
         self.batch_num_tokens = CDFSketch("batch_num_tokens")
         self.batch_size = CDFSketch("batch_size")
         self.batch_execution_time = CDFSketch("batch_execution_time")
+        # per-op device times (OperationMetrics names; ref cuda_timer.py
+        # attaches a CudaTimer per op -- here ops are measured in
+        # isolation by metrics/op_profiler.py, since one fused XLA step
+        # cannot be event-timed from Python)
+        self.operation_times: Dict[str, CDFSketch] = {}
+        # host-phase times (CpuOperationMetrics names: schedule,
+        # prepare_inputs, kv_cache_step, ...)
+        self.cpu_operation_times: Dict[str, CDFSketch] = {}
+        # per-step allocator fragmentation fraction (BASELINE <1% target)
+        self.fragmentation = CDFSketch("fragmentation_overhead")
         self.num_preempted = 0
         self.num_completed_requests = 0
         self.num_processed_tokens = 0
@@ -124,6 +134,22 @@ class MetricsStore:
     # ------------------------------------------------------------------ #
     # ingest hooks (ref :281-535)
     # ------------------------------------------------------------------ #
+    def push_operation_time(self, op, seconds: float) -> None:
+        """op: OperationMetrics member or its string value."""
+        name = getattr(op, "value", op)
+        sketch = self.operation_times.get(name)
+        if sketch is None:
+            sketch = self.operation_times[name] = CDFSketch(name)
+        sketch.add(seconds)
+
+    def push_cpu_operation_time(self, op, seconds: float) -> None:
+        """op: CpuOperationMetrics member or its string value."""
+        name = getattr(op, "value", op)
+        sketch = self.cpu_operation_times.get(name)
+        if sketch is None:
+            sketch = self.cpu_operation_times[name] = CDFSketch(name)
+        sketch.add(seconds)
+
     def on_request_arrival(self, seq) -> None:
         pass
 
@@ -192,6 +218,14 @@ class MetricsStore:
             mine, theirs = getattr(self, name), getattr(other, name)
             mine.xs.extend(theirs.xs)
             mine.ys.extend(theirs.ys)
+        for name, sketch in other.operation_times.items():
+            for y in sketch.ys:
+                self.push_operation_time(name, y)
+        for name, sketch in other.cpu_operation_times.items():
+            for y in sketch.ys:
+                self.push_cpu_operation_time(name, y)
+        self.fragmentation.ys.extend(other.fragmentation.ys)
+        self.fragmentation.xs.extend(other.fragmentation.xs)
         self.num_preempted += other.num_preempted
         self.num_completed_requests += other.num_completed_requests
         self.num_processed_tokens += other.num_processed_tokens
@@ -205,6 +239,17 @@ class MetricsStore:
                          "ttft", "batch_num_tokens", "batch_size",
                          "batch_execution_time")
         }
+        if self.operation_times:
+            out["operation_times"] = {
+                name: sketch.summary()
+                for name, sketch in sorted(self.operation_times.items())}
+        if self.cpu_operation_times:
+            out["cpu_operation_times"] = {
+                name: sketch.summary()
+                for name, sketch in sorted(
+                    self.cpu_operation_times.items())}
+        if len(self.fragmentation):
+            out["fragmentation_overhead"] = self.fragmentation.summary()
         out["totals"] = {
             "wall_time_s": wall,
             "completed_requests": self.num_completed_requests,
@@ -228,6 +273,13 @@ class MetricsStore:
                      "batch_execution_time"):
             getattr(self, name).to_csv(
                 os.path.join(self.config.output_dir, f"{name}.csv"))
+        for name, sketch in {**self.operation_times,
+                             **self.cpu_operation_times}.items():
+            sketch.to_csv(os.path.join(self.config.output_dir,
+                                       f"operation_{name}.csv"))
+        if len(self.fragmentation):
+            self.fragmentation.to_csv(os.path.join(
+                self.config.output_dir, "fragmentation_overhead.csv"))
         with open(os.path.join(self.config.output_dir,
                                "summary.json"), "w") as f:
             json.dump(self.summary(), f, indent=2)

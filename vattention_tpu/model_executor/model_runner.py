@@ -393,7 +393,15 @@ class ModelRunner:
         (vattention.cu:549-558) -- here it is the sampled-token round trip
         that must be hidden, not cuMemMap.
         """
+        import time as _time
+
+        from vattention_tpu.metrics.constants import CpuOperationMetrics
+        from vattention_tpu.metrics.metrics_store import MetricsStore
+
+        _t0 = _time.perf_counter()
         inputs, n_pre = self._prepare_inputs(seq_metadata_list)
+        MetricsStore.get_instance().push_cpu_operation_time(
+            CpuOperationMetrics.PREPARE_INPUTS, _time.perf_counter() - _t0)
         kv_cache, self._tok_buf, tokens, self._rng = self._step_fn(
             self.params, self.cache_engine.kv_cache, self._tok_buf,
             inputs, n_pre=n_pre)

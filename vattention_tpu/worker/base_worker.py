@@ -11,6 +11,7 @@ from the benchmark launcher (one engine per replica).
 from __future__ import annotations
 
 import os
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -142,6 +143,22 @@ class BaseWorker:
     def get_free_blocks(self) -> int:
         return self.cache_engine.get_free_blocks()
 
+    def _cache_step(self, seq_metadata_list) -> None:
+        """cache_engine.step with KV-alloc latency + fragmentation
+        recording (BASELINE metrics: per-step blocking time of the
+        allocator step, ref vattn_demo_async.py:42-77, and the <1%
+        fragmentation-overhead target)."""
+        from vattention_tpu.metrics.constants import CpuOperationMetrics
+
+        t0 = time.perf_counter()
+        self.cache_engine.step(seq_metadata_list)
+        self.metrics_store.push_cpu_operation_time(
+            CpuOperationMetrics.KV_STEP, time.perf_counter() - t0)
+        alloc = getattr(self.cache_engine, "allocator", None)
+        if alloc is not None:
+            self.metrics_store.fragmentation.add(
+                alloc.fragmentation_overhead())
+
     def execute_model(self, scheduler_outputs: SchedulerOutputs,
                       seq_metadata_list) -> Optional[SamplerOutputs]:
         """ref base_worker.execute_model:173-208.
@@ -154,8 +171,13 @@ class BaseWorker:
         # free preempted sequences' slots first (ref :183-184)
         for seq_id in scheduler_outputs.preempted_seq_ids:
             self.cache_engine.free_seq(seq_id)
-        self.cache_engine.step(seq_metadata_list)
+        self._cache_step(seq_metadata_list)
+        t0 = time.perf_counter()
         sampler_outputs = self.model_runner.run(seq_metadata_list)
+        from vattention_tpu.metrics.constants import CpuOperationMetrics
+
+        self.metrics_store.push_cpu_operation_time(
+            CpuOperationMetrics.MODEL_EXECUTION, time.perf_counter() - t0)
         self.metrics_store.on_batch_end(seq_metadata_list, scheduler_outputs)
         return sampler_outputs
 
@@ -173,7 +195,7 @@ class BaseWorker:
         when the chip sits behind a network tunnel)."""
         for seq_id in scheduler_outputs.preempted_seq_ids:
             self.cache_engine.free_seq(seq_id)
-        self.cache_engine.step(seq_metadata_list)
+        self._cache_step(seq_metadata_list)
         handle = self.model_runner.run_async(seq_metadata_list)
         self.metrics_store.on_batch_end(seq_metadata_list, scheduler_outputs)
         self._inflight.append((scheduler_outputs, handle))
@@ -202,6 +224,14 @@ class BaseWorker:
         """Free finished sequences' cache slots (after the engine has
         applied sampler outputs + stop checks)."""
         self.cache_engine.on_step_completion(seq_metadata_list)
+
+    def profile_op_level(self, *, ctx: int = 1024,
+                         iters: int = 8) -> dict:
+        """Measure per-op device times (OperationMetrics rows) at this
+        worker's serving shapes; see metrics/op_profiler.py."""
+        from vattention_tpu.metrics.op_profiler import profile_operations
+
+        return profile_operations(self.model_runner, ctx=ctx, iters=iters)
 
     # -- profiling (ref base_worker.py:222-247: torch.profiler -> chrome
     # trace; here jax.profiler -> xplane/perfetto trace dir) ------------- #
