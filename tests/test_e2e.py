@@ -110,10 +110,11 @@ def test_engine_matches_dense_reference(backend, scheduler, chunk, model):
     MetricsStore._instance = None
 
 
-def test_fp8_kv_cache_quality():
-    """FP8 KV cache: greedy tokens stay close to the bf16-cache run
-    (BASELINE north star: <=0.1 ppl delta; here: token agreement on a
-    short greedy rollout with random weights)."""
+def test_fp8_kv_cache_engine_path():
+    """FP8 KV engine plumbing smoke: kv_quant=fp8 builds an fp8 arena and
+    serves a rollout whose tokens mostly track the bf16 run.  The
+    QUALITY gate (BASELINE <=0.1 ppl delta) is test_fp8_quality.py's
+    trained-model perplexity assertion; this only guards the wiring."""
     from vattention_tpu.metrics.metrics_store import MetricsStore
 
     def run(kv_quant):
