@@ -14,7 +14,7 @@ HBM traffic) under prefill's MXU work -- the same overlap POD gets from
 SM sharing.  The interleave order is a host-built schedule array handed
 to the kernel via scalar prefetch (the tbAssign analog):
 
-  sched[t] = (phase, idx, kt, cur_b, cur_qt, flags)
+  sched[t] = (phase, idx, kt, cur_b, cur_qt, flags, pre_kt, dec_kt)
 
     phase: 0 = prefill tile, 1 = decode tile
     idx:   qt (prefill) or batch slot b (decode)
@@ -23,6 +23,11 @@ to the kernel via scalar prefetch (the tbAssign analog):
         before t (keeps the un-touched operand's BlockSpec index constant
         so its DMA is elided and its output block stays resident)
     flags: bit0 = first kv tile of this (phase, idx) stream
+    pre_kt / dec_kt: the most recent PREFILL kv-tile / DECODE kv-tile at
+        or before t -- each phase's K/V operands are SEPARATE BlockSpecs
+        driven only by its own stream state, so the inactive phase's
+        blocks keep a constant index (DMA elided) and each index map
+        reads only its own extent tables
 
 Per-slot decode softmax state lives in [B]-indexed VMEM scratch so the
 two streams can interleave at single-tile granularity; the prefill
@@ -42,7 +47,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, icdiv, idiv,
-                                      interpret_mode, seg_row_lookup,
+                                      interpret_mode,
+                                      tile_rows_from_segments_jnp,
                                       tpu_params)
 
 
@@ -85,8 +91,9 @@ def build_pod_schedule(
     padded = 1
     while padded < max(n, 1):
         padded *= 2
-    sched = np.zeros((padded, 6), np.int32)
+    sched = np.zeros((padded, 8), np.int32)
     cur_b, cur_qt = 0, 0
+    cur_pre_kt, cur_dec = 0, (0, 0)
     pi = di = 0
     for t in range(n):
         # even weave: emit a decode tile whenever its stream falls behind
@@ -101,23 +108,26 @@ def build_pod_schedule(
             b, kt, first = dec_tiles[di]
             di += 1
             cur_b = b
-            sched[t] = (1, b, kt, cur_b, cur_qt, int(first))
+            cur_dec = (b, kt)
+            sched[t] = (1, b, kt, cur_b, cur_qt, int(first),
+                        cur_pre_kt, kt)
         else:
             qt, kt, first = pre_tiles[pi]
             pi += 1
             cur_qt = qt
-            sched[t] = (0, qt, kt, cur_b, cur_qt, int(first))
+            cur_pre_kt = kt
+            sched[t] = (0, qt, kt, cur_b, cur_qt, int(first),
+                        kt, cur_dec[1])
     for t in range(n, padded):
-        sched[t] = (2, 0, 0, cur_b, cur_qt, 0)
+        sched[t] = (2, 0, 0, cur_b, cur_qt, 0, cur_pre_kt, cur_dec[1])
     return sched
 
 
 def _pod_kernel(
     # scalar prefetch
-    sched_ref, pre_seg_row_ref, pre_seg_cum_ref, qinfo_ref,
-    dec_seg_row_ref, dec_seg_cum_ref, dec_seqlens_ref,
+    sched_ref, pre_rows_ref, dec_rows_ref, qinfo_ref, dec_seqlens_ref,
     # blocks
-    qp_ref, qd_ref, k_ref, v_ref, op_ref, od_ref,
+    qp_ref, qd_ref, kp_ref, vp_ref, kd_ref, vd_ref, op_ref, od_ref,
     # scratch
     pm_ref, pl_ref, pacc_ref, dm_ref, dl_ref, dacc_ref,
     *, q_tile: int, kv_tile: int, num_segments: int, sm_scale: float,
@@ -142,7 +152,7 @@ def _pod_kernel(
             pacc_ref[...] = jnp.zeros_like(pacc_ref)
 
         q = qp_ref[...].reshape(Hkv, G * q_tile, D)
-        k = k_ref[...]
+        k = kp_ref[...]
         # compute-dtype matmul (bf16 MXU, f32 accumulate); fp8 upcasts
         if k.dtype != q.dtype:
             k = k.astype(q.dtype)
@@ -161,8 +171,8 @@ def _pod_kernel(
         p = jnp.exp(s - m_new[..., None])
         alpha = jnp.exp(m_prev - m_new)
         pl_ref[...] = pl_ref[...] * alpha + jnp.sum(p, axis=-1)
-        v = v_ref[...].astype(q.dtype) if v_ref.dtype != q.dtype \
-            else v_ref[...]
+        v = vp_ref[...].astype(q.dtype) if vp_ref.dtype != q.dtype \
+            else vp_ref[...]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -170,17 +180,15 @@ def _pod_kernel(
         pacc_ref[...] = pacc_ref[...] * alpha[..., None] + pv
         pm_ref[...] = m_new
 
-        # flush this q tile's output on its last kv tile
-        n_kv = jnp.maximum(1, icdiv(kv_len, kv_tile))
-        q_last = q_start + (idx + 1) * q_tile - 1
-        last_kt = jnp.minimum(idiv(q_last, kv_tile), n_kv - 1)
-
-        @pl.when(kt == last_kt)
-        def _finish():
-            l = pl_ref[...]
-            l = jnp.where(l == 0.0, 1.0, l)
-            o = pacc_ref[...] / l[..., None]
-            op_ref[...] = o.reshape(Hkv, G, q_tile, D).astype(op_ref.dtype)
+        # write the running normalized output EVERY tile (the last tile's
+        # write wins; the block only leaves VMEM when its index moves).
+        # A write gated on the dynamic last tile was one suspect for the
+        # deep-stream Mosaic fault; unconditional writes also keep the
+        # output block defined on every visited step.
+        l = pl_ref[...]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o = pacc_ref[...] / l[..., None]
+        op_ref[...] = o.reshape(Hkv, G, q_tile, D).astype(op_ref.dtype)
 
     @pl.when(t == 0)
     def _zero_od():
@@ -190,7 +198,7 @@ def _pod_kernel(
     @pl.when(phase == 1)
     def _decode():
         _, Hq, D = qd_ref.shape
-        Hkv = k_ref.shape[0]
+        Hkv = kd_ref.shape[0]
         G = Hq // Hkv
         b = idx
 
@@ -201,7 +209,7 @@ def _pod_kernel(
             dacc_ref[b] = jnp.zeros_like(dacc_ref[b])
 
         q = qd_ref[b].reshape(Hkv, G, D)
-        k = k_ref[...]
+        k = kd_ref[...]
         if k.dtype != q.dtype:
             k = k.astype(q.dtype)
         s = jax.lax.dot_general(
@@ -217,8 +225,8 @@ def _pod_kernel(
         p = jnp.exp(s - m_new[..., None])
         alpha = jnp.exp(m_prev - m_new)
         dl_ref[b] = dl_ref[b] * alpha + jnp.sum(p, axis=-1)
-        v = v_ref[...].astype(q.dtype) if v_ref.dtype != q.dtype \
-            else v_ref[...]
+        v = vd_ref[...].astype(q.dtype) if vd_ref.dtype != q.dtype \
+            else vd_ref[...]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -226,14 +234,10 @@ def _pod_kernel(
         dacc_ref[b] = dacc_ref[b] * alpha[..., None] + pv
         dm_ref[b] = m_new
 
-        n_tiles = icdiv(kv_len_b, kv_tile)
-
-        @pl.when(kt == n_tiles - 1)
-        def _finish():
-            l = dl_ref[b]
-            l = jnp.where(l == 0.0, 1.0, l)
-            o = dacc_ref[b] / l[..., None]
-            od_ref[b] = o.reshape(Hq, D).astype(od_ref.dtype)
+        ld = dl_ref[b]
+        ld = jnp.where(ld == 0.0, 1.0, ld)
+        o = dacc_ref[b] / ld[..., None]
+        od_ref[b] = o.reshape(Hq, D).astype(od_ref.dtype)
 
 
 @functools.partial(
@@ -271,20 +275,38 @@ def pod_fused_attention(
     def qp_index(t, sched_ref, *_):
         return (0, 0, sched_ref[t, 4], 0)
 
-    def kv_index(t, sched_ref, psr, psc, qinfo_ref, dsr, dsc, dsl, kv01):
+    # arena rows are resolved OUTSIDE the kernel into flat per-tile row
+    # tables (the flash_decode host-row-table pattern): the index maps
+    # are then single scalar reads.  The in-map 8-segment where-chain
+    # lookup was implicated in a depth-dependent Mosaic runtime fault
+    # (aborts/hangs once extent-table values crossed ~2048 -- bisected
+    # via /tmp clean-room probes, docs/PERF.md), and scalar walks in
+    # index maps were already the measured fixed-cost hot spot.
+    n_pre_tiles = max(cdiv(R, kv_tile), 1)
+    pre_rows = tile_rows_from_segments_jnp(
+        pre_seg_row[None], pre_seg_cum[None], kv_tile, n_pre_tiles)[0]
+    dec_rows = tile_rows_from_segments_jnp(
+        dec_seg_row, dec_seg_cum, kv_tile, n_pre_tiles)
+
+    # each phase's K/V blocks are driven ONLY by that phase's stream
+    # state (sched cols 6/7 + cur_b): while the other phase runs, the
+    # index is unchanged and the Pallas pipeline elides the DMA -- the
+    # tbAssign-analog schedule never mixes the two phases' tables in
+    # one index map
+    def kv_pre_index(t, sched_ref, pre_rows_ref, dec_rows_ref,
+                     qinfo_ref, dsl, kv01):
         layer = qinfo_ref[2]
-        phase = sched_ref[t, 0]
-        idx = sched_ref[t, 1]
-        kt = sched_ref[t, 2]
-        pos = kt * kv_tile
-        row_pre = seg_row_lookup(pos, psr, psc, num_segments)
-        row_dec = seg_row_lookup(pos, dsr, dsc, num_segments,
-                                 prefix=(idx,))
-        row = jnp.where(phase == 0, row_pre, row_dec)
+        row = pre_rows_ref[sched_ref[t, 6]]
+        return (layer, kv01, 0, idiv(row, kv_tile), 0)
+
+    def kv_dec_index(t, sched_ref, pre_rows_ref, dec_rows_ref,
+                     qinfo_ref, dsl, kv01):
+        layer = qinfo_ref[2]
+        row = dec_rows_ref[sched_ref[t, 3], sched_ref[t, 7]]
         return (layer, kv01, 0, idiv(row, kv_tile), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=5,
         grid=(n_sched,),
         in_specs=[
             pl.BlockSpec((Hkv, G, q_tile, D), qp_index),
@@ -293,9 +315,13 @@ def pod_fused_attention(
             # in the weave's non-monotonic slot order)
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, Hkv, kv_tile, D),
-                         functools.partial(kv_index, kv01=0)),
+                         functools.partial(kv_pre_index, kv01=0)),
             pl.BlockSpec((None, None, Hkv, kv_tile, D),
-                         functools.partial(kv_index, kv01=1)),
+                         functools.partial(kv_pre_index, kv01=1)),
+            pl.BlockSpec((None, None, Hkv, kv_tile, D),
+                         functools.partial(kv_dec_index, kv01=0)),
+            pl.BlockSpec((None, None, Hkv, kv_tile, D),
+                         functools.partial(kv_dec_index, kv01=1)),
         ],
         out_specs=(
             pl.BlockSpec((Hkv, G, q_tile, D),
@@ -323,6 +349,6 @@ def pod_fused_attention(
         ),
         compiler_params=tpu_params(),
         interpret=interpret_mode(),
-    )(sched, pre_seg_row, pre_seg_cum, qinfo, dec_seg_row, dec_seg_cum,
-      dec_seqlens, qp_hm, q_decode, kv_cache, kv_cache)
+    )(sched, pre_rows, dec_rows, qinfo, dec_seqlens, qp_hm, q_decode,
+      kv_cache, kv_cache, kv_cache, kv_cache)
     return op.transpose(2, 0, 1, 3).reshape(Tq, Hq, D), od
