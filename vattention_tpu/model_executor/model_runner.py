@@ -155,8 +155,9 @@ class ModelRunner:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            self._tok_buf = jax.device_put(
-                self._tok_buf, NamedSharding(mesh, PartitionSpec()))
+            rep = NamedSharding(mesh, PartitionSpec())
+            self._tok_buf = jax.device_put(self._tok_buf, rep)
+            self._rng = jax.device_put(self._rng, rep)
         if mesh is None:
             self._step_fn = functools.partial(
                 jax.jit, static_argnames=("n_pre",),
@@ -357,7 +358,11 @@ class ModelRunner:
                     int(pre_qinfo[0, 1]), int(pre_qinfo[0, 0]),
                     dec_seqlens)
         # one batched host->device transfer for the whole pytree: through
-        # the remote-dispatch tunnel, per-array device_puts cost ~2ms each
+        # the remote-dispatch tunnel, per-array device_puts cost ~2ms each.
+        # On a mesh the inputs are placed replicated explicitly -- in
+        # multi-controller (multi-host) serving every process builds the
+        # SAME host arrays and a global replicated array is the only
+        # valid placement for a mesh-spanning jit.
         host_inputs = StepInputs(
             token_ids=token_ids,
             positions=positions,
@@ -379,6 +384,12 @@ class ModelRunner:
             use_prev_tok=use_prev_tok,
             qt_run=qt_run if prefills else None,
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(
+                host_inputs, NamedSharding(self.mesh, PartitionSpec())
+            ), n_pre
         return jax.device_put(host_inputs), n_pre
 
     # ------------------------------------------------------------------ #
