@@ -275,14 +275,16 @@ def test_pod_fused_long_weave():
     kv_len, q_start, Tq = 1024, 512, 512
     qp = jnp.asarray(rng.standard_normal((Tq, HQ, D)), dtype=jnp.float32)
     pre_row, pre_cum = seg_tables([(0, 1024)])
-    B = 8
+    # decode extents kv_tile-aligned (the serving contract: extents are
+    # block-aligned and select_kv_tile keeps kv_tile <= block_tokens)
+    B = 4
     dec_row = np.zeros((B, S), np.int32)
     dec_cum = np.zeros((B, S + 1), np.int32)
     dec_seqlens = np.zeros(B, np.int32)
     for b in range(B):
-        r, c = seg_tables([(1024 + b * 128, 128)])
+        r, c = seg_tables([(1024 + b * 256, 256)])
         dec_row[b], dec_cum[b] = np.asarray(r), np.asarray(c)
-        dec_seqlens[b] = 100 + b
+        dec_seqlens[b] = 100 + 37 * b
     qd = jnp.asarray(rng.standard_normal((B, HQ, D)), dtype=jnp.float32)
 
     sched = build_pod_schedule(Tq, 128, 256, kv_len, q_start, dec_seqlens)

@@ -19,5 +19,6 @@ class NoOpAttentionBackend:
         return kv_cache
 
     def attend(self, q, kv_cache, inputs, layer_idx,
-               n_prefill_tokens: int, *, sm_scale: float):
+               n_prefill_tokens: int, *, sm_scale: float,
+               kv_len_hint=None):
         return q

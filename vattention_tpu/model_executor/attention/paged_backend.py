@@ -59,25 +59,33 @@ class PagedAttentionBackend:
         return kv_cache
 
     def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,
-               n_prefill_tokens: int, *, sm_scale: float):
+               n_prefill_tokens: int, *, sm_scale: float,
+               kv_len_hint=None):
         from vattention_tpu.model_executor.attention.vattn_backend import (
             VattnAttentionBackend)
 
         D = q.shape[-1]
         q = VattnAttentionBackend._pad_heads(q, kv_cache.shape[-1])
+        pre_hint, dec_hint = kv_len_hint or (None, None)
         outs = []
         if n_prefill_tokens > 0:
+            tiles = self.max_kv_tiles
+            if pre_hint:
+                tiles = min(tiles, cdiv(pre_hint, self.block_size))
             outs.append(paged_flash_prefill_multi(
                 q[:n_prefill_tokens], kv_cache, inputs.pre_seg_row,
                 inputs.pre_qinfo, inputs.qt_run,
                 layer_idx.astype(jnp.int32),
                 q_tile=self.q_tile, block_size=self.block_size,
-                sm_scale=sm_scale, max_kv_tiles=self.max_kv_tiles))
+                sm_scale=sm_scale, max_kv_tiles=tiles))
         if q.shape[0] > n_prefill_tokens:
+            tiles = self.max_kv_tiles
+            if dec_hint:
+                tiles = min(tiles, cdiv(dec_hint, self.block_size))
             outs.append(paged_flash_decode(
                 q[n_prefill_tokens:], kv_cache, inputs.dec_seg_row,
                 inputs.dec_seqlens, layer_idx.astype(jnp.int32),
                 block_size=self.block_size, sm_scale=sm_scale,
-                max_kv_tiles=self.max_kv_tiles))
+                max_kv_tiles=tiles))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         return out[..., :D]

@@ -22,7 +22,8 @@ from vattention_tpu.ops.pod_fused import pod_fused_attention
 
 class PodAttentionBackend(VattnAttentionBackend):
     def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,
-               n_prefill_tokens: int, *, sm_scale: float):
+               n_prefill_tokens: int, *, sm_scale: float,
+               kv_len_hint=None):
         if n_prefill_tokens > 0 and inputs.pod_sched is not None \
                 and q.shape[0] > n_prefill_tokens:
             D = q.shape[-1]
@@ -41,4 +42,5 @@ class PodAttentionBackend(VattnAttentionBackend):
                 sm_scale=sm_scale)
             return jnp.concatenate([op, od], axis=0)[..., :D]
         return super().attend(q, kv_cache, inputs, layer_idx,
-                              n_prefill_tokens, sm_scale=sm_scale)
+                              n_prefill_tokens, sm_scale=sm_scale,
+                              kv_len_hint=kv_len_hint)

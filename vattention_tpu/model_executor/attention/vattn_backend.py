@@ -99,12 +99,25 @@ class VattnAttentionBackend:
         return kv_cache
 
     def attend(self, q, kv_cache, inputs: StepInputs, layer_idx,
-               n_prefill_tokens: int, *, sm_scale: float):
-        """q: [T, Hq, D] -> [T, Hq, D].  ``n_prefill_tokens`` is static."""
+               n_prefill_tokens: int, *, sm_scale: float,
+               kv_len_hint=None):
+        """q: [T, Hq, D] -> [T, Hq, D].  ``n_prefill_tokens`` is static.
+
+        ``kv_len_hint``: optional static (prefill_kv_len, decode_kv_len)
+        upper bounds in TOKENS (pow2-bucketed by the model runner) that
+        cap the kernels' kv-tile grids to this step's live depth --
+        without it the grids cover max_model_len, and the skipped-tile
+        tail's fixed cost (~2-3us/step/layer) is pure overhead at short
+        contexts.
+        """
         D = q.shape[-1]
         q = self._pad_heads(q, kv_cache.shape[-1])
+        pre_hint, dec_hint = kv_len_hint or (None, None)
         outs = []
         if n_prefill_tokens > 0:
+            tiles = self.wide_max_kv_tiles
+            if pre_hint:
+                tiles = min(tiles, cdiv(pre_hint, self.wide_kv_tile))
             outs.append(flash_prefill_multi(
                 q[:n_prefill_tokens], kv_cache,
                 inputs.pre_seg_row, inputs.pre_seg_cum,
@@ -112,7 +125,7 @@ class VattnAttentionBackend:
                 layer_idx.astype(jnp.int32),
                 q_tile=self.q_tile, kv_tile=self.wide_kv_tile,
                 num_segments=self.num_segments, sm_scale=sm_scale,
-                max_kv_tiles=self.wide_max_kv_tiles,
+                max_kv_tiles=tiles,
                 window=self.sliding_window,
                 kv_fetch=self.wide_kv_fetch))
         if q.shape[0] > n_prefill_tokens:
@@ -122,12 +135,15 @@ class VattnAttentionBackend:
                 tile_rows = tile_rows_from_segments_jnp(
                     inputs.dec_seg_row, inputs.dec_seg_cum,
                     self.dec_sub, self.dec_n_sub)
+            tiles = self.dec_max_kv_tiles
+            if dec_hint:
+                tiles = min(tiles, cdiv(dec_hint, self.dec_kv_tile))
             outs.append(flash_decode(
                 q[n_prefill_tokens:], kv_cache,
                 tile_rows, inputs.dec_seqlens,
                 layer_idx.astype(jnp.int32),
                 kv_tile=self.dec_kv_tile,
-                sm_scale=sm_scale, max_kv_tiles=self.dec_max_kv_tiles,
+                sm_scale=sm_scale, max_kv_tiles=tiles,
                 window=self.sliding_window,
                 kv_fetch=self.dec_kv_fetch,
                 seq_tile=self.decode_seq_tile(

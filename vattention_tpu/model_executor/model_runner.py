@@ -160,16 +160,16 @@ class ModelRunner:
             self._rng = jax.device_put(self._rng, rep)
         if mesh is None:
             self._step_fn = functools.partial(
-                jax.jit, static_argnames=("n_pre",),
+                jax.jit, static_argnames=("n_pre", "kv_len_hint"),
                 donate_argnums=(1, 2))(self._step)
         else:
             self._step_fn = functools.partial(
-                jax.jit, static_argnames=("n_pre",),
+                jax.jit, static_argnames=("n_pre", "kv_len_hint"),
                 donate_argnums=(1, 2))(self._step_parallel)
 
     # ------------------------------------------------------------------ #
     def _step_parallel(self, params, kv_cache, tok_buf, inputs: StepInputs,
-                       n_pre: int):
+                       n_pre: int, kv_len_hint=None):
         """Sharded serving step: pp pipeline x tp inside shard_map."""
         inputs = self._splice_prev_tokens(inputs, tok_buf, n_pre)
         from jax.sharding import PartitionSpec as P
@@ -193,7 +193,8 @@ class ModelRunner:
             return pipeline_stage_step(
                 self.model, self.backend, params, kv_cache,
                 stacked_inputs, n_pre=n_pre, num_micro=M,
-                num_stages=self.pp, pp_axis="pp")
+                num_stages=self.pp, pp_axis="pp",
+                kv_len_hint=kv_len_hint)
 
         sm = jax.shard_map(
             body, mesh=self.mesh,
@@ -226,10 +227,11 @@ class ModelRunner:
         return inputs._replace(token_ids=token_ids)
 
     def _step(self, params, kv_cache, tok_buf, inputs: StepInputs,
-              n_pre: int):
+              n_pre: int, kv_len_hint=None):
         inputs = self._splice_prev_tokens(inputs, tok_buf, n_pre)
         kv_cache, logits = self.model.forward(
-            params, kv_cache, inputs, self.backend, n_pre)
+            params, kv_cache, inputs, self.backend, n_pre,
+            kv_len_hint=kv_len_hint)
         rng, step_rng = jax.random.split(inputs.rng)
         tokens = sample_tokens(logits, inputs.temperatures, inputs.top_p,
                                inputs.top_k, step_rng)
@@ -384,13 +386,28 @@ class ModelRunner:
             use_prev_tok=use_prev_tok,
             qt_run=qt_run if prefills else None,
         )
+        # static pow2-bucketed live-depth hint: bounds the attention
+        # kernels' kv-tile grids to this step's real depth instead of
+        # max_model_len (the skipped-tile grid tail costs ~2-3us per
+        # step per layer).  Buckets keep the signature count log2-small
+        # and recompiles rare (a growing context crosses each bucket
+        # once).
+        def bucket(n):
+            b = 512
+            while b < n:
+                b *= 2
+            return b
+        pre_kv_max = int(pre_qinfo[:, 1].max()) if prefills else 0
+        dec_kv_max = int(dec_seqlens.max()) if decodes else 0
+        kv_len_hint = (bucket(pre_kv_max) if pre_kv_max else 0,
+                       bucket(dec_kv_max) if dec_kv_max else 0)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
             return jax.device_put(
                 host_inputs, NamedSharding(self.mesh, PartitionSpec())
-            ), n_pre
-        return jax.device_put(host_inputs), n_pre
+            ), n_pre, kv_len_hint
+        return jax.device_put(host_inputs), n_pre, kv_len_hint
 
     # ------------------------------------------------------------------ #
     def run_async(self, seq_metadata_list: List[SequenceMetadata]
@@ -410,12 +427,13 @@ class ModelRunner:
         from vattention_tpu.metrics.metrics_store import MetricsStore
 
         _t0 = _time.perf_counter()
-        inputs, n_pre = self._prepare_inputs(seq_metadata_list)
+        inputs, n_pre, kv_len_hint = self._prepare_inputs(
+            seq_metadata_list)
         MetricsStore.get_instance().push_cpu_operation_time(
             CpuOperationMetrics.PREPARE_INPUTS, _time.perf_counter() - _t0)
         kv_cache, self._tok_buf, tokens, self._rng = self._step_fn(
             self.params, self.cache_engine.kv_cache, self._tok_buf,
-            inputs, n_pre=n_pre)
+            inputs, n_pre=n_pre, kv_len_hint=kv_len_hint)
         self.cache_engine.kv_cache = kv_cache
         try:
             tokens.copy_to_host_async()

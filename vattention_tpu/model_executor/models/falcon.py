@@ -60,7 +60,7 @@ class FalconForCausalLM(LlamaForCausalLM):
         return params
 
     def forward(self, params, kv_cache, inputs: StepInputs, backend,
-                n_prefill_tokens: int):
+                n_prefill_tokens: int, kv_len_hint=None):
         a = self.arch
         D = self.head_dim
         eps = 1e-5
@@ -81,7 +81,8 @@ class FalconForCausalLM(LlamaForCausalLM):
             kv_cache = backend.append_kv(kv_cache, k, v, inputs, lidx,
                                          n_prefill_tokens)
             attn = backend.attend(q, kv_cache, inputs, lidx,
-                                  n_prefill_tokens, sm_scale=self.sm_scale)
+                                  n_prefill_tokens, sm_scale=self.sm_scale,
+                                  kv_len_hint=kv_len_hint)
             o = attn.reshape(T, self.hq * D) @ lp["o_w"]
             mlp = gelu_new(h @ lp["up_w"]) @ lp["down_w"]
             both = o + mlp

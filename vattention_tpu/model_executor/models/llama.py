@@ -100,7 +100,7 @@ class LlamaForCausalLM:
         return params["embed"][token_ids]  # [T, H]
 
     def run_layers(self, layer_params, kv_cache, x, inputs: StepInputs,
-                   backend, n_prefill_tokens: int):
+                   backend, n_prefill_tokens: int, kv_len_hint=None):
         """Scan a stack of layers; ``kv_cache`` holds exactly the layers
         in ``layer_params`` (local indexing)."""
         a = self.arch
@@ -123,7 +123,8 @@ class LlamaForCausalLM:
             kv_cache = backend.append_kv(kv_cache, k, v, inputs, lidx,
                                          n_prefill_tokens)
             attn = backend.attend(q, kv_cache, inputs, lidx,
-                                  n_prefill_tokens, sm_scale=self.sm_scale)
+                                  n_prefill_tokens, sm_scale=self.sm_scale,
+                                  kv_len_hint=kv_len_hint)
             o = attn.reshape(T, self.hq * D) @ lp["o_w"]
             if self.tp_axis is not None:
                 o = jax.lax.psum(o, self.tp_axis)
@@ -153,10 +154,10 @@ class LlamaForCausalLM:
         return jnp.dot(hs, head, preferred_element_type=jnp.float32)
 
     def forward(self, params, kv_cache, inputs: StepInputs, backend,
-                n_prefill_tokens: int):
+                n_prefill_tokens: int, kv_len_hint=None):
         """Returns (kv_cache, logits [B, V_shard])."""
         x = self.embed(params, inputs.token_ids)
         x, kv_cache = self.run_layers(
             params["layers"], kv_cache, x, inputs, backend,
-            n_prefill_tokens)
+            n_prefill_tokens, kv_len_hint=kv_len_hint)
         return kv_cache, self.head(params, x, inputs.sample_idx)

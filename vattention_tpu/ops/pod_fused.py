@@ -91,10 +91,17 @@ def build_pod_schedule(
     padded = 1
     while padded < max(n, 1):
         padded *= 2
-    sched = np.zeros((padded, 8), np.int32)
-    cur_b, cur_qt = 0, 0
-    cur_pre_kt, cur_dec = 0, (0, 0)
+    # columns: 0 phase, 1 idx, 2 kt, 3 cur_b, 4 cur_qt, 5 first,
+    # 6 pre_kt (prefill-stream state for the prefill K/V BlockSpecs),
+    # 7 parity (decode ordinal & 1 -> double-buffer slot),
+    # 8 nxt_b / 9 nxt_kt / 10 nxt_valid (the NEXT decode tile, whose
+    #   manual DMA this entry launches into the other buffer),
+    # 11-13 on entry 0 only: first decode tile (b, kt, any) whose DMA
+    #   launches at t == 0
+    sched = np.zeros((padded, 16), np.int32)
+    cur_b, cur_qt, cur_pre_kt = 0, 0, 0
     pi = di = 0
+    dec_entry_rows = []
     for t in range(n):
         # even weave: emit a decode tile whenever its stream falls behind
         # the target ratio (ref SM ratio balancing); ratio_hint biases
@@ -106,20 +113,27 @@ def build_pod_schedule(
         take_decode = (di < nd) and (pi >= np_ or behind)
         if take_decode:
             b, kt, first = dec_tiles[di]
-            di += 1
             cur_b = b
-            cur_dec = (b, kt)
-            sched[t] = (1, b, kt, cur_b, cur_qt, int(first),
-                        cur_pre_kt, kt)
+            sched[t, :8] = (1, b, kt, cur_b, cur_qt, int(first),
+                            cur_pre_kt, di & 1)
+            dec_entry_rows.append(t)
+            di += 1
         else:
             qt, kt, first = pre_tiles[pi]
             pi += 1
             cur_qt = qt
             cur_pre_kt = kt
-            sched[t] = (0, qt, kt, cur_b, cur_qt, int(first),
-                        kt, cur_dec[1])
+            sched[t, :8] = (0, qt, kt, cur_b, cur_qt, int(first), kt, 0)
     for t in range(n, padded):
-        sched[t] = (2, 0, 0, cur_b, cur_qt, 0, cur_pre_kt, cur_dec[1])
+        sched[t, :8] = (2, 0, 0, cur_b, cur_qt, 0, cur_pre_kt, 0)
+    # decode DMA pipelining links
+    for i, t in enumerate(dec_entry_rows):
+        if i + 1 < len(dec_entry_rows):
+            nt = dec_entry_rows[i + 1]
+            sched[t, 8:11] = (sched[nt, 1], sched[nt, 2], 1)
+    if dec_entry_rows:
+        t0 = dec_entry_rows[0]
+        sched[0, 11:14] = (sched[t0, 1], sched[t0, 2], 1)
     return sched
 
 
@@ -127,12 +141,47 @@ def _pod_kernel(
     # scalar prefetch
     sched_ref, pre_rows_ref, dec_rows_ref, qinfo_ref, dec_seqlens_ref,
     # blocks
-    qp_ref, qd_ref, kp_ref, vp_ref, kd_ref, vd_ref, op_ref, od_ref,
+    qp_ref, qd_ref, kp_ref, vp_ref, kv_any_ref, op_ref, od_ref,
     # scratch
     pm_ref, pl_ref, pacc_ref, dm_ref, dl_ref, dacc_ref,
+    kbuf, vbuf, ksem, vsem,
     *, q_tile: int, kv_tile: int, num_segments: int, sm_scale: float,
 ):
     t = pl.program_id(0)
+    layer = qinfo_ref[2]
+
+    def dec_copies(b, kt, slot):
+        """K/V async-copy descriptors for decode tile (b, kt) into
+        double-buffer slot.  The decode stream's KV moves with MANUAL
+        DMAs: the BlockSpec pipeline machinery miscompiles this stream's
+        strided revisit pattern (hardware aborts once decode extents sit
+        >=1024 rows apart -- bisected via kernel ablation on v5e, see
+        docs/PERF.md), and the hand-rolled chain is also exactly the
+        double-buffered overlap we want: each decode tile's launch is
+        issued one weave-slot early, riding under prefill MXU work."""
+        # serving extents are block-aligned (blocks are 32-row multiples)
+        # with kv_tile <= block_tokens, so row is 32-aligned and
+        # row + kv_tile <= R always holds; the clamp only guards a
+        # contract violation from turning into an out-of-range DMA, and
+        # multiple_of hands Mosaic the sublane-tiling divisibility proof
+        # the dynamic slice needs
+        row = jnp.minimum(dec_rows_ref[b, kt],
+                          kv_any_ref.shape[3] - kv_tile)
+        row = pl.multiple_of(row, 32)
+        return (
+            pltpu.make_async_copy(
+                kv_any_ref.at[layer, 0, :, pl.ds(row, kv_tile), :],
+                kbuf.at[slot], ksem.at[slot]),
+            pltpu.make_async_copy(
+                kv_any_ref.at[layer, 1, :, pl.ds(row, kv_tile), :],
+                vbuf.at[slot], vsem.at[slot]),
+        )
+
+    @pl.when(jnp.logical_and(t == 0, sched_ref[0, 13] == 1))
+    def _prime_decode_stream():
+        kc, vc = dec_copies(sched_ref[0, 11], sched_ref[0, 12], 0)
+        kc.start()
+        vc.start()
     phase = sched_ref[t, 0]
     idx = sched_ref[t, 1]
     kt = sched_ref[t, 2]
@@ -198,9 +247,24 @@ def _pod_kernel(
     @pl.when(phase == 1)
     def _decode():
         _, Hq, D = qd_ref.shape
-        Hkv = kd_ref.shape[0]
+        Hkv = kbuf.shape[1]
         G = Hq // Hkv
         b = idx
+        slot = sched_ref[t, 7]
+
+        # this tile's K/V landed in buf[slot] (launched at t==0 or by
+        # the previous decode entry); wait, then launch the next tile's
+        # into the other slot before computing
+        kc, vc = dec_copies(b, kt, slot)
+        kc.wait()
+        vc.wait()
+
+        @pl.when(sched_ref[t, 10] == 1)
+        def _launch_next():
+            nk, nv = dec_copies(sched_ref[t, 8], sched_ref[t, 9],
+                                1 - slot)
+            nk.start()
+            nv.start()
 
         @pl.when(first == 1)
         def _init():
@@ -209,7 +273,7 @@ def _pod_kernel(
             dacc_ref[b] = jnp.zeros_like(dacc_ref[b])
 
         q = qd_ref[b].reshape(Hkv, G, D)
-        k = kd_ref[...]
+        k = kbuf[slot]
         if k.dtype != q.dtype:
             k = k.astype(q.dtype)
         s = jax.lax.dot_general(
@@ -225,8 +289,9 @@ def _pod_kernel(
         p = jnp.exp(s - m_new[..., None])
         alpha = jnp.exp(m_prev - m_new)
         dl_ref[b] = dl_ref[b] * alpha + jnp.sum(p, axis=-1)
-        v = vd_ref[...].astype(q.dtype) if vd_ref.dtype != q.dtype \
-            else vd_ref[...]
+        v = vbuf[slot]
+        if v.dtype != q.dtype:
+            v = v.astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -288,21 +353,15 @@ def pod_fused_attention(
     dec_rows = tile_rows_from_segments_jnp(
         dec_seg_row, dec_seg_cum, kv_tile, n_pre_tiles)
 
-    # each phase's K/V blocks are driven ONLY by that phase's stream
-    # state (sched cols 6/7 + cur_b): while the other phase runs, the
-    # index is unchanged and the Pallas pipeline elides the DMA -- the
-    # tbAssign-analog schedule never mixes the two phases' tables in
-    # one index map
+    # prefill K/V blocks are driven ONLY by the prefill stream state
+    # (sched col 6): while decode runs, the index is unchanged and the
+    # Pallas pipeline elides the DMA.  The DECODE stream has no
+    # BlockSpec at all -- its K/V moves via manual double-buffered DMAs
+    # inside the kernel (see _pod_kernel.dec_copies).
     def kv_pre_index(t, sched_ref, pre_rows_ref, dec_rows_ref,
                      qinfo_ref, dsl, kv01):
         layer = qinfo_ref[2]
         row = pre_rows_ref[sched_ref[t, 6]]
-        return (layer, kv01, 0, idiv(row, kv_tile), 0)
-
-    def kv_dec_index(t, sched_ref, pre_rows_ref, dec_rows_ref,
-                     qinfo_ref, dsl, kv01):
-        layer = qinfo_ref[2]
-        row = dec_rows_ref[sched_ref[t, 3], sched_ref[t, 7]]
         return (layer, kv01, 0, idiv(row, kv_tile), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -318,10 +377,7 @@ def pod_fused_attention(
                          functools.partial(kv_pre_index, kv01=0)),
             pl.BlockSpec((None, None, Hkv, kv_tile, D),
                          functools.partial(kv_pre_index, kv01=1)),
-            pl.BlockSpec((None, None, Hkv, kv_tile, D),
-                         functools.partial(kv_dec_index, kv01=0)),
-            pl.BlockSpec((None, None, Hkv, kv_tile, D),
-                         functools.partial(kv_dec_index, kv01=1)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((Hkv, G, q_tile, D),
@@ -335,6 +391,10 @@ def pod_fused_attention(
             pltpu.VMEM((B, Hkv, G), jnp.float32),            # dm
             pltpu.VMEM((B, Hkv, G), jnp.float32),            # dl
             pltpu.VMEM((B, Hkv, G, D), jnp.float32),         # dacc
+            pltpu.VMEM((2, Hkv, kv_tile, D), kv_cache.dtype),  # kbuf
+            pltpu.VMEM((2, Hkv, kv_tile, D), kv_cache.dtype),  # vbuf
+            pltpu.SemaphoreType.DMA((2,)),                   # ksem
+            pltpu.SemaphoreType.DMA((2,)),                   # vsem
         ],
     )
     kernel = functools.partial(
@@ -350,5 +410,5 @@ def pod_fused_attention(
         compiler_params=tpu_params(),
         interpret=interpret_mode(),
     )(sched, pre_rows, dec_rows, qinfo, dec_seqlens, qp_hm, q_decode,
-      kv_cache, kv_cache, kv_cache, kv_cache)
+      kv_cache, kv_cache, kv_cache)
     return op.transpose(2, 0, 1, 3).reshape(Tq, Hq, D), od

@@ -35,7 +35,7 @@ def _tree_index(tree, i):
 def pipeline_stage_step(model, backend, params, kv_cache_local,
                         inputs_stacked: StepInputs, *,
                         n_pre: int, num_micro: int, num_stages: int,
-                        pp_axis: str = "pp"):
+                        pp_axis: str = "pp", kv_len_hint=None):
     """Body to run under shard_map over ``pp_axis``.
 
     params: embed/final_norm/lm_head replicated; params["layers"] is this
@@ -69,7 +69,8 @@ def pipeline_stage_step(model, backend, params, kv_cache_local,
         x_first = model.embed(params, inp.token_ids)
         x_in = jnp.where(s == 0, x_first, x_buf)
         x_out, kv_cache = model.run_layers(
-            params["layers"], kv_cache, x_in, inp, backend, n_pre)
+            params["layers"], kv_cache, x_in, inp, backend, n_pre,
+            kv_len_hint=kv_len_hint)
         # last stage: head + stash logits for this microbatch
         lg = model.head(params, x_out, inp.sample_idx)
         write = jnp.logical_and(valid, s == pp - 1)
