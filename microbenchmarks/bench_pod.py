@@ -38,6 +38,7 @@ def main():
     p.add_argument("--layers", type=int, default=8,
                    help="chained calls per program")
     p.add_argument("--block-tokens", type=int, default=256)
+    p.add_argument("--kv-tile", type=int, default=256)
     args = p.parse_args()
 
     from vattention_tpu.ops.flash_decode import flash_decode
@@ -50,7 +51,7 @@ def main():
     B, Hq, Hkv, D = args.batch, args.hq, args.hkv, args.head_dim
     L = args.layers
     S = 8
-    q_tile, kv_tile = 128, 256
+    q_tile, kv_tile = 128, args.kv_tile
     Tq = round_up(args.prefill, q_tile)
     ctx_pad = round_up(args.ctx, args.block_tokens)
     hist_pad = round_up(args.history, args.block_tokens)

@@ -1,0 +1,52 @@
+#!/bin/bash
+# Long-context static-trace A/B grid on one TPU chip.
+#
+# ref grid: scripts/benchmark_e2e_static_trace.py:7-13 -- ctx {32K, 64K,
+# 128K} x P:D {500,100,50} x backends {fa_vattn_2mb, fa_vattn_256kb,
+# fa_paged_256}, makespan metric (process_e2e_static.py:20-27).
+#
+# Model: yi-6b-200k-l16 (real Yi-6B per-layer geometry, half depth so
+# 128K fp8 KV + bf16 weights fit 16GiB -- the reference ran 80GB A100s).
+# fp8 KV; request counts scaled to chip-hour budget; batch per ctx.
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_comp_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2
+MODEL=yi-6b-200k-l16
+OUT=benchmark_output/longctx
+mkdir -p "$OUT"
+
+run_cfg () {
+  local ctx=$1 backend=$2 pd=$3 batch=$4 nreq=$5
+  local decode=$(( ctx / (pd + 1) )); [ $decode -lt 1 ] && decode=1
+  local prefill=$(( ctx - decode ))
+  local tag="${backend}_c${ctx}_pd${pd}"
+  echo "=== $tag (B=$batch n=$nreq) ==="
+  timeout 2400 python -m vattention_tpu.benchmark.main \
+    --model $MODEL --load-format zero --kv-quant fp8 \
+    --attention-backend $backend --scheduler-type sarathi \
+    --chunk-size 2048 --max-model-len $(( ctx + 128 )) \
+    --max-batch-size $batch --max-num-seqs $batch \
+    --gpu-memory-utilization 0.95 \
+    --interval-generator static --length-generator fixed \
+    --num-requests $nreq --prefill-tokens $prefill \
+    --decode-tokens $decode --no-warmup \
+    --output-dir "$OUT/$tag" 2>&1 | tail -20
+}
+
+for backend in fa_vattn_2mb fa_paged_256 fa_vattn_256kb; do
+  run_cfg 32768 $backend 100 8 8
+done
+for backend in fa_vattn_2mb fa_paged_256 fa_vattn_256kb; do
+  run_cfg 65536 $backend 100 4 6
+done
+for backend in fa_vattn_2mb fa_paged_256 fa_vattn_256kb; do
+  run_cfg 131072 $backend 100 2 4
+done
+# P:D ratio dimension at 32K (ref 500/100/50)
+for pd in 500 50; do
+  for backend in fa_vattn_2mb fa_paged_256; do
+    run_cfg 32768 $backend $pd 8 8
+  done
+done
+echo "grid done"

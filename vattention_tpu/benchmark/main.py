@@ -33,6 +33,8 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--max-batch-size", type=int, default=32)
     p.add_argument("--max-num-seqs", type=int, default=32)
     p.add_argument("--gpu-memory-utilization", type=float, default=0.9)
+    p.add_argument("--kv-quant", default="none",
+                   help="KV cache dtype: none | fp8")
     p.add_argument("--enable-dynamic-chunking-schedule", action="store_true")
     p.add_argument("--low-chunk-size", type=int, default=None)
     p.add_argument("--high-chunk-size", type=int, default=None)
@@ -86,7 +88,7 @@ def run_from_args(args) -> dict:
         model=args.model, dtype=args.dtype, load_format=args.load_format,
         attention_backend=args.attention_backend,
         scheduler_type=args.scheduler_type, chunk_size=args.chunk_size,
-        max_model_len=args.max_model_len,
+        max_model_len=args.max_model_len, kv_quant=args.kv_quant,
         max_batch_size=args.max_batch_size, max_num_seqs=args.max_num_seqs,
         gpu_memory_utilization=args.gpu_memory_utilization,
         enable_dynamic_chunking_schedule=(

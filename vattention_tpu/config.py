@@ -97,6 +97,15 @@ _ARCH_REGISTRY: Dict[str, ModelArch] = {
         "yi", num_layers=32, num_q_heads=32, num_kv_heads=4, head_dim=128,
         hidden_size=4096, intermediate_size=11008, vocab_size=64000,
         max_position_embeddings=200000, rope_theta=5000000.0),
+    # per-layer geometry of Yi-6B-200k at half depth: the 16GiB v5e
+    # cannot hold full Yi-6B bf16 weights (11.3GiB) AND a 128K-context
+    # KV slab (4GiB fp8) the way the reference's 80GB A100s can
+    # (scripts/utils.py:27-32); halving layers keeps every kernel shape
+    # (hidden/heads/head_dim/vocab) real while the long-context A/B fits
+    "yi-6b-200k-l16": ModelArch(
+        "yi", num_layers=16, num_q_heads=32, num_kv_heads=4, head_dim=128,
+        hidden_size=4096, intermediate_size=11008, vocab_size=64000,
+        max_position_embeddings=200000, rope_theta=5000000.0),
     "yi-34b-200k": ModelArch(
         "yi", num_layers=60, num_q_heads=56, num_kv_heads=8, head_dim=128,
         hidden_size=7168, intermediate_size=20480, vocab_size=64000,

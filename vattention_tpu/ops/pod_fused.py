@@ -52,11 +52,15 @@ from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, icdiv, idiv,
                                       tpu_params)
 
 
-# Maximum prefill KV depth validated for the fused kernel on hardware;
-# deeper streams trip a Mosaic runtime fault (bisected on v5e: 512 ok,
-# 2048 faults even with a 256-token chunk -- see docs/PERF.md).  The
-# serving path falls back to the serial kernels beyond this.
-POD_KV_LEN_LIMIT = 1024
+# Maximum prefill KV depth validated for the fused kernel on hardware.
+# Round 2 capped this at 1024: Mosaic faulted on deeper streams.  Two
+# round-3 root-cause fixes moved the boundary to 8K (clean-room probe
+# matrix, /tmp protocol documented in docs/PERF.md): (1) in-index-map
+# segment-walk lookups -> precomputed row tables; (2) decode-stream
+# BlockSpecs -> manual double-buffered DMAs.  16K+ still trips a fault
+# in the BlockSpec pipeline machinery; the serving path falls back to
+# the serial kernels beyond this depth.
+POD_KV_LEN_LIMIT = 8192
 
 
 def build_pod_schedule(
