@@ -62,6 +62,7 @@ def dense_reference_generate(model, params, prompt_ids, max_tokens):
     ("fa_pod", "sarathi", 128, "tiny-llama-debug"),     # fused kernel
     ("fa_vattn", "sarathi", 128, "tiny-d64-debug"),     # head-dim padding
     ("fa_vattn_megacache", "sarathi", 128, "tiny-llama-debug"),  # megacache
+    ("fi_unpaged", "sarathi", 128, "tiny-llama-debug"),  # contiguous alias
 ])
 def test_engine_matches_dense_reference(backend, scheduler, chunk, model):
     engine = LLMEngine.from_engine_args(

@@ -56,12 +56,21 @@ class AttentionBackend(enum.Enum):
 
     @staticmethod
     def is_vATTN(backend) -> bool:
-        """ref :56-103 classification helpers."""
+        """ref :56-103 classification helpers.
+
+        FI_UNPAGED counts as contiguous: the reference implements it
+        with a KVBuffer that stages each step's K/V contiguously
+        (fi_unpaged wrapper + kv_buffer.py:6-83) and runs unpaged
+        kernels over it -- on TPU that IS the contiguous-arena path, so
+        it dispatches to the vattn engine rather than falling through
+        to the paged one.
+        """
         backend = AttentionBackend.resolve(backend)
         return "vattn" in backend.value or backend in (
             AttentionBackend.FA_POD, AttentionBackend.FA_POD_MEGACACHE,
             AttentionBackend.FA_STREAMS,
-            AttentionBackend.FA_STREAMS_MEGACACHE)
+            AttentionBackend.FA_STREAMS_MEGACACHE,
+            AttentionBackend.FI_UNPAGED)
 
     @staticmethod
     def is_vLLM(backend) -> bool:
