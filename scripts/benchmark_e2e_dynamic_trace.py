@@ -73,8 +73,12 @@ def main():
                 "normalized_e2e_p50": norm["p50"],
                 "normalized_e2e_p90": norm["p90"],
                 "normalized_e2e_p99": norm["p99"],
+                "scheduling_delay_p50":
+                    summary["scheduling_delay"]["p50"],
                 "scheduling_delay_p99":
                     summary["scheduling_delay"]["p99"],
+                "ttft_p50": summary["ttft"]["p50"],
+                "ttft_p90": summary["ttft"]["p90"],
                 "tokens_per_s": summary["totals"]["tokens_per_s"],
             })
             print(json.dumps(results[-1]))

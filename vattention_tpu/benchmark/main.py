@@ -77,6 +77,11 @@ def run_from_args(args) -> dict:
         args.num_requests = 2
         args.prefill_tokens = min(args.prefill_tokens, 256)
         args.decode_tokens = min(args.decode_tokens, 8)
+        args.min_tokens = min(args.min_tokens, 128)
+        args.max_tokens = min(args.max_tokens, 512)
+        args.prefill_scale_factor = min(args.prefill_scale_factor,
+                                        256 / 16384)
+        args.decode_scale_factor = min(args.decode_scale_factor, 0.05)
         args.max_model_len = 2048
         args.max_batch_size = 4
         args.max_num_seqs = 4
