@@ -1,0 +1,74 @@
+"""Capacity search on real hardware -> committed artifact.
+
+ref: sarathi-lean capacity_search.py:72-244 (bisection on Poisson qps
+under a scheduling-delay SLO).  Single-chip sequential probes; the
+result lands in benchmark_output/capacity_search.json.
+
+Usage: python scripts/run_capacity_search.py [--model yi-6b-200k-l16]
+       [--backend fa_vattn_2mb] [--num-requests 24] [--slo-s 5]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="yi-6b-200k-l16")
+    p.add_argument("--backend", default="fa_vattn_2mb")
+    p.add_argument("--num-requests", type=int, default=24)
+    p.add_argument("--slo-s", type=float, default=5.0)
+    p.add_argument("--quantile", type=float, default=0.9)
+    p.add_argument("--max-model-len", type=int, default=8192)
+    p.add_argument("--prefill-tokens", type=int, default=2048)
+    p.add_argument("--decode-tokens", type=int, default=128)
+    p.add_argument("--output",
+                   default="benchmark_output/capacity_search.json")
+    args = p.parse_args()
+
+    from vattention_tpu.benchmark.capacity_search.capacity_search import (
+        CapacitySearch, SLOConfig)
+
+    engine_kwargs = dict(
+        model=args.model, load_format="zero",
+        attention_backend=args.backend, scheduler_type="sarathi",
+        chunk_size=1024, max_model_len=args.max_model_len,
+        max_batch_size=16, max_num_seqs=16,
+        gpu_memory_utilization=0.9, write_metrics=True,
+        output_dir="/tmp/capsearch")
+    generator_config = dict(
+        interval_generator="poisson", length_generator="fixed",
+        prefill_tokens=args.prefill_tokens,
+        decode_tokens=args.decode_tokens)
+    t0 = time.time()
+    search = CapacitySearch(
+        engine_kwargs, generator_config,
+        SLOConfig(scheduling_delay_slo_s=args.slo_s,
+                  scheduling_delay_quantile=args.quantile),
+        num_requests=args.num_requests, time_limit_s=300.0)
+    capacity = search.search(qps_low=0.25, qps_high=4.0, tolerance=0.25,
+                             max_iters=4)
+    result = {
+        "model": args.model, "backend": args.backend,
+        "capacity_qps": capacity,
+        "slo": {"scheduling_delay_s": args.slo_s,
+                "quantile": args.quantile},
+        "workload": {"prefill": args.prefill_tokens,
+                     "decode": args.decode_tokens,
+                     "num_requests": args.num_requests},
+        "search_wall_s": round(time.time() - t0, 1),
+    }
+    os.makedirs(os.path.dirname(args.output), exist_ok=True)
+    with open(args.output, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
