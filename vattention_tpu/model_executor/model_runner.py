@@ -328,7 +328,16 @@ class ModelRunner:
             top_p[slot] = sp.top_p
             top_k[slot] = sp.top_k
 
-        pre_runs = np.zeros((K_max * S, 3), np.int32)
+        # run budget: a chunk breaks at block boundaries at worst, so
+        # n_pre tokens span at most cdiv(n_pre, block) + K runs.  Sizing
+        # by the block-table width instead (a previous bug) exploded the
+        # append kernel's grid to table_width x windows -- at 128K the
+        # paged engine paid ~33k no-op grid steps per prefill step and
+        # the scalar-prefetch buffer blew the 1MB SMEM limit.
+        bt = (getattr(ce, "block_tokens", None)
+              or getattr(ce, "block_size", 1))
+        max_runs = max(8, -(-n_pre // max(bt, 1)) + K_max + 1)
+        pre_runs = np.zeros((max_runs, 3), np.int32)
         nrun = 0
         for i in range(len(prefills)):
             # decompose each chunk's arena rows into contiguous runs;
@@ -339,7 +348,7 @@ class ModelRunner:
             breaks = np.nonzero(np.diff(r) != 1)[0] + 1
             starts = np.concatenate([[0], breaks])
             ends = np.concatenate([breaks, [chunk]])
-            assert nrun + len(starts) <= K_max * S, (
+            assert nrun + len(starts) <= max_runs, (
                 "chunks cross more extents than the run budget")
             for a, b in zip(starts, ends):
                 pre_runs[nrun] = (r[a], off + a, b - a)
