@@ -50,6 +50,9 @@ def measure(args, backend):
         max_num_seqs=args.batch,
         gpu_memory_utilization=0.9,
         kv_quant=args.kv_quant,
+        # steady-state decode at one depth: the bucket pays its single
+        # recompile during warmup and then trims the grid tail
+        dynamic_kv_len_buckets=True,
     )
 
     for i in range(args.batch):

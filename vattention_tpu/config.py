@@ -400,3 +400,9 @@ class SystemConfig:
     # device round trip, which dominates behind a network tunnel.
     enable_async_execution: bool = True
     max_inflight_steps: int = 2
+    # pow2-bucket the attention kernels' kv-tile grids to each step's
+    # live depth.  Saves the skipped-tile grid tail (~1ms/step at short
+    # contexts under a big max_model_len) but each bucket crossing
+    # recompiles the step (~30-60s); ON pays off for long-lived serving,
+    # OFF keeps benchmark/A-B runs at two compile signatures.
+    dynamic_kv_len_buckets: bool = False

@@ -50,6 +50,7 @@ class EngineArgs:
     # execution
     enable_async_execution: bool = True
     max_inflight_steps: int = 2
+    dynamic_kv_len_buckets: bool = False
 
     def create_engine_configs(self) -> SystemConfig:
         model_config = ModelConfig(
@@ -117,7 +118,8 @@ class EngineArgs:
             scheduler_config=scheduler_config,
             metrics_config=metrics_config,
             enable_async_execution=self.enable_async_execution,
-            max_inflight_steps=self.max_inflight_steps)
+            max_inflight_steps=self.max_inflight_steps,
+            dynamic_kv_len_buckets=self.dynamic_kv_len_buckets)
 
     @classmethod
     def field_names(cls):

@@ -99,6 +99,8 @@ class ModelRunner:
                     is_leaf=lambda x: isinstance(
                         x, jax.sharding.PartitionSpec)))
         self.q_tile = 128
+        self.use_kv_hints = getattr(config, "dynamic_kv_len_buckets",
+                                    False)
         self.max_prefills = getattr(
             config.scheduler_config, "max_prefills_per_step", 4)
         self.chunk_budget = round_up(
@@ -408,8 +410,10 @@ class ModelRunner:
             return b
         pre_kv_max = int(pre_qinfo[:, 1].max()) if prefills else 0
         dec_kv_max = int(dec_seqlens.max()) if decodes else 0
-        kv_len_hint = (bucket(pre_kv_max) if pre_kv_max else 0,
-                       bucket(dec_kv_max) if dec_kv_max else 0)
+        kv_len_hint = None
+        if self.use_kv_hints:
+            kv_len_hint = (bucket(pre_kv_max) if pre_kv_max else 0,
+                           bucket(dec_kv_max) if dec_kv_max else 0)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
