@@ -44,6 +44,7 @@ class VattnAttentionBackend:
         # block-aligned sub-tile DMAs (kv_fetch)
         self.wide_kv_fetch = max(1, min(8, 512 // self.kv_tile))
         self.wide_kv_tile = self.kv_tile * self.wide_kv_fetch
+        self.pre_sub = self.wide_kv_tile // self.wide_kv_fetch
         self.num_segments = num_segments
         # tiles bounded by the max context (not arena size) to keep the
         # skipped-tile tail of the grid short
@@ -51,6 +52,7 @@ class VattnAttentionBackend:
                                  self.kv_tile)
         self.wide_max_kv_tiles = cdiv(min(max_context_len, arena_rows),
                                      self.wide_kv_tile)
+        self.pre_n_sub = self.wide_max_kv_tiles * self.wide_kv_fetch
         # decode tiling: 256-token compute tiles measured fastest on v5e
         # (bigger tiles raise the per-stream VMEM floor without more
         # bandwidth; decode is per-seq-DMA-bound, not MXU-bound)
@@ -123,6 +125,7 @@ class VattnAttentionBackend:
                 inputs.pre_seg_row, inputs.pre_seg_cum,
                 inputs.pre_qinfo, inputs.qt_run,
                 layer_idx.astype(jnp.int32),
+                inputs.pre_tile_rows,
                 q_tile=self.q_tile, kv_tile=self.wide_kv_tile,
                 num_segments=self.num_segments, sm_scale=sm_scale,
                 max_kv_tiles=tiles,

@@ -303,12 +303,17 @@ class ModelRunner:
         dec_seg_cum = np.zeros((B, S + 1), np.int32)
         dec_seg_cum[:, 1:] = np.cumsum(seg_tok_all, axis=1)
         dec_tile_rows = None
+        pre_tile_rows = None
         if hasattr(self.backend, "dec_sub"):
             from vattention_tpu.ops.utils import tile_rows_from_segments
 
             dec_tile_rows = tile_rows_from_segments(
                 dec_seg_row, dec_seg_cum, self.backend.dec_sub,
                 self.backend.dec_n_sub)
+            if prefills:
+                pre_tile_rows = tile_rows_from_segments(
+                    pre_seg_row, pre_seg_cum, self.backend.pre_sub,
+                    self.backend.pre_n_sub)
 
         for meta in decodes:
             seq = meta.seq
@@ -396,6 +401,7 @@ class ModelRunner:
             pre_runs=pre_runs if prefills else None,
             use_prev_tok=use_prev_tok,
             qt_run=qt_run if prefills else None,
+            pre_tile_rows=pre_tile_rows,
         )
         # static pow2-bucketed live-depth hint: bounds the attention
         # kernels' kv-tile grids to this step's real depth instead of

@@ -59,6 +59,9 @@ class StepInputs(NamedTuple):
     # (run index, local q-tile index within the run); None on
     # decode-only steps
     qt_run: jax.Array = None   # [n_pre//q_tile, 2] int32
+    # host-resolved arena row of each prefill-run KV sub-tile start
+    # (one scalar read per index-map call instead of a segment walk)
+    pre_tile_rows: jax.Array = None  # [K, n_sub] int32
     # host-resolved arena row of each decode KV sub-tile start
     # (ops/utils.tile_rows_from_segments); spares the decode kernel's
     # index_maps an unrolled segment walk per (seq, tile).  None falls

@@ -266,6 +266,7 @@ def flash_prefill_multi(
     qinfo: jax.Array,        # [K, 2] int32 per-run (q_start, kv_len)
     qt_run: jax.Array,       # [Tq//q_tile, 2] int32 (run, local q-tile)
     linfo: jax.Array,        # [1] int32 (layer,)
+    tile_rows: jax.Array | None = None,  # [K, >= max_kv_tiles*kv_fetch]
     *,
     q_tile: int = 128,
     kv_tile: int = 512,
@@ -299,7 +300,15 @@ def flash_prefill_multi(
     G = Hq // Hkv
     q_blk = q.reshape(Tq // q_tile, q_tile, Hkv, G, D)
 
-    def kv_index_map(h, qt, kt, qt_run_ref, qinfo_ref, seg_row_ref,
+    # extent resolution: a host/trace-precomputed per-(run, sub-tile)
+    # row table costs ONE scalar read per index-map call; the unrolled
+    # 8-segment where-chain alternative costs ~an order of magnitude
+    # more scalar work per grid step, which at 128K-deep prefill grids
+    # (16k+ steps/layer-call) measurably drags the whole kernel (the
+    # same rule flash_decode established; docs/PERF.md)
+    use_table = tile_rows is not None
+
+    def kv_index_map(h, qt, kt, qt_run_ref, qinfo_ref, tbl_or_row_ref,
                      seg_cum_ref, linfo_ref, kv01, part):
         r = qt_run_ref[qt, 0]
         lqt = qt_run_ref[qt, 1]
@@ -309,8 +318,12 @@ def flash_prefill_multi(
         q_last_pos = qinfo_ref[r, 0] + (lqt + 1) * q_tile - 1
         diag_tile = jnp.minimum(idiv(q_last_pos, kv_tile), n_kv_tiles - 1)
         t_eff = jnp.minimum(kt, diag_tile)  # clamp: repeats elide the DMA
-        row = seg_row_lookup(t_eff * kv_tile + part * sub, seg_row_ref,
-                             seg_cum_ref, num_segments, prefix=(r,))
+        if use_table:
+            row = tbl_or_row_ref[r, t_eff * kv_fetch + part]
+        else:
+            row = seg_row_lookup(t_eff * kv_tile + part * sub,
+                                 tbl_or_row_ref, seg_cum_ref,
+                                 num_segments, prefix=(r,))
         return (layer, kv01, h, idiv(row, sub), 0)
 
     kv_specs = [
@@ -352,6 +365,6 @@ def flash_prefill_multi(
         out_shape=jax.ShapeDtypeStruct(q_blk.shape, q.dtype),
         compiler_params=tpu_params(("parallel", "parallel", "arbitrary")),
         interpret=interpret_mode(),
-    )(qt_run, qinfo, seg_row, seg_cum, linfo, q_blk,
-      *([kv_cache] * (2 * kv_fetch)))
+    )(qt_run, qinfo, tile_rows if use_table else seg_row, seg_cum,
+      linfo, q_blk, *([kv_cache] * (2 * kv_fetch)))
     return out.reshape(Tq, Hq, D)
