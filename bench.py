@@ -93,6 +93,13 @@ def measure(args, backend):
     dt = time.perf_counter() - t0
     n = store.num_decode_tokens - d0
     engine.cleanup()
+    from vattention_tpu.metrics.metrics_store import MetricsStore
+
+    MetricsStore._instance = None
+    del engine
+    import gc
+
+    gc.collect()
     return n / dt, n / args.decode_steps
 
 

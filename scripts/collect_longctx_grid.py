@@ -26,7 +26,7 @@ def main():
         path = os.path.join(args.dir, tag, "summary.json")
         if not os.path.exists(path):
             continue
-        m = re.match(r"(.+)_c(\d+)_pd(\d+)$", tag)
+        m = re.match(r"(.+)_c(\d+)_pd(\d+)(?:_fair)?$", tag)
         if not m:
             continue
         with open(path) as f:

@@ -38,11 +38,17 @@ class VattnAttentionBackend:
         # 32-row RMW window -> the batched append must serialize
         self.append_serialize = block_tokens % WINDOW != 0
         self.q_tile = q_tile
-        self.kv_tile = kv_tile or select_kv_tile(block_tokens)
+        import os as _os
+
+        # measurement knob: cap the compute-tile width (e.g.
+        # VATTN_WIDE_TILE=256 reproduces the paged backend's tiling on
+        # the arena for like-for-like kernel comparisons)
+        wide_pref = int(_os.environ.get("VATTN_WIDE_TILE", "512"))
+        self.kv_tile = kv_tile or select_kv_tile(block_tokens, wide_pref)
         # prefill wants 512-wide MXU tiles; when extents are only aligned
         # to a smaller block size, fetch the compute tile as several
         # block-aligned sub-tile DMAs (kv_fetch)
-        self.wide_kv_fetch = max(1, min(8, 512 // self.kv_tile))
+        self.wide_kv_fetch = max(1, min(8, wide_pref // self.kv_tile))
         self.wide_kv_tile = self.kv_tile * self.wide_kv_fetch
         self.pre_sub = self.wide_kv_tile // self.wide_kv_fetch
         self.num_segments = num_segments

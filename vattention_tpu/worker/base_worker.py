@@ -252,3 +252,12 @@ class BaseWorker:
     def cleanup(self) -> None:
         if self.cache_engine is not None:
             self.cache_engine.cleanup()
+        # drop device references so HBM is actually reclaimed -- an A/B
+        # harness builds a second engine (weights + arena) right after
+        # this one (ref cleanup frees the CUDA pool, vattention.cu:602)
+        if self.model_runner is not None:
+            self.model_runner.params = None
+            self.model_runner._tok_buf = None
+            self.model_runner._step_fn = None
+        self.model_runner = None
+        self._inflight.clear()
