@@ -82,16 +82,25 @@ def measure(args, backend):
             "context length -- lower --batch or --ctx")
 
     # timed decode steady state; count decode tokens actually scheduled
-    # (not batch * steps -- beyond-capacity configs would overcount)
+    # (not batch * steps -- beyond-capacity configs would overcount).
+    # Median of several contiguous windows: one window of 20 steps is
+    # ~0.4s and a single host/tunnel hiccup inside it once cost the
+    # round a 9% phantom regression (BENCH_r03 1149.8 vs a reproducible
+    # 1256.7) -- the median is immune to one bad window.
     store = engine.metrics_store
-    for _ in range(3):
+    for _ in range(5):
         engine.step()  # warm the decode-only signature
-    d0 = store.num_decode_tokens
-    t0 = time.perf_counter()
-    for _ in range(args.decode_steps):
-        engine.step()
-    dt = time.perf_counter() - t0
-    n = store.num_decode_tokens - d0
+    rates = []
+    for _ in range(args.windows):
+        d0 = store.num_decode_tokens
+        t0 = time.perf_counter()
+        for _ in range(args.decode_steps):
+            engine.step()
+        dt = time.perf_counter() - t0
+        rates.append(((store.num_decode_tokens - d0) / dt,
+                      store.num_decode_tokens - d0))
+    rates.sort()
+    rate, n = rates[len(rates) // 2]
     engine.cleanup()
     from vattention_tpu.metrics.metrics_store import MetricsStore
 
@@ -100,7 +109,7 @@ def measure(args, backend):
     import gc
 
     gc.collect()
-    return n / dt, n / args.decode_steps
+    return rate, n / args.decode_steps
 
 
 def main():
@@ -116,6 +125,8 @@ def main():
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--ctx", type=int, default=1024)
     p.add_argument("--decode-steps", type=int, default=20)
+    p.add_argument("--windows", type=int, default=5,
+                   help="timed windows; the median one is reported")
     p.add_argument("--max-model-len", type=int, default=2048)
     p.add_argument("--kv-quant", default="none",
                    help="KV cache dtype: none | fp8")

@@ -106,6 +106,10 @@ class ModelRunner:
         self.chunk_budget = round_up(
             config.scheduler_config.get_max_num_batched_tokens(
                 config.model_config.max_model_len), self.q_tile)
+        # fixed prefill-region width (see _prepare_inputs): scheduled
+        # chunks sum to <= chunk_budget, plus per-run q_tile rounding
+        self.n_pre_fixed = (self.chunk_budget
+                            + self.max_prefills * self.q_tile)
         self.B = config.cache_config.max_batch_size
         self.S = cache_engine.table_width
         from vattention_tpu.model_executor.attention import (
@@ -251,22 +255,33 @@ class ModelRunner:
             f"{len(prefills)} prefill runs > max_prefills_per_step "
             f"{K_max} (scheduler contract)")
 
-        # each prefill run padded to the q tile; runs concatenated
+        # each prefill run padded to the q tile; runs concatenated.  The
+        # TOTAL prefill region is then padded to ONE fixed width so every
+        # mixed step shares a single jit signature: variable last-chunk /
+        # rolling-split sizes otherwise mint a fresh n_pre each (a 64K
+        # grid run paid 3 extra ~14s compiles mid-makespan for exactly
+        # this).  Tail q tiles map to an empty run (index K_max) whose
+        # kv_len=0 marks every kv tile dead, so the pad costs only
+        # skipped grid steps.
         chunks = [m.prompt_chunk_len for m in prefills]
         pads = [round_up(max(c, 1), self.q_tile) for c in chunks]
         run_offs = np.concatenate(
             [[0], np.cumsum(pads)]).astype(np.int64)
         n_pre = int(run_offs[-1])
+        if prefills:
+            assert n_pre <= self.n_pre_fixed, (n_pre, self.n_pre_fixed)
+            n_pre = self.n_pre_fixed
         B, S = self.B, self.S
         T = n_pre + B
 
         token_ids = np.zeros(T, np.int32)
         positions = np.zeros(T, np.int32)
         append_rows = np.full(T, -1, np.int32)
-        pre_seg_row = np.zeros((K_max, S), np.int32)
-        pre_seg_cum = np.zeros((K_max, S + 1), np.int32)
-        pre_qinfo = np.zeros((K_max, 2), np.int32)
+        pre_seg_row = np.zeros((K_max + 1, S), np.int32)
+        pre_seg_cum = np.zeros((K_max + 1, S + 1), np.int32)
+        pre_qinfo = np.zeros((K_max + 1, 2), np.int32)
         qt_run = np.zeros((n_pre // self.q_tile, 2), np.int32)
+        qt_run[:, 0] = K_max  # default: the empty run
         dec_seqlens = np.zeros(B, np.int32)
         sample_idx = np.full(B, -1, np.int32)
         temperatures = np.ones(B, np.float32)

@@ -142,7 +142,9 @@ def _prefill_kernel(
 
     need_mask = jnp.logical_or(jnp.logical_or(crosses_diag, crosses_len),
                                crosses_window)
-    live = kt <= diag_tile
+    # kv_len == 0 marks the empty run that fixed-width prefill padding
+    # maps tail q tiles to (model_runner._prepare_inputs): fully dead
+    live = jnp.logical_and(kt <= diag_tile, kv_len > 0)
 
     @pl.when(jnp.logical_and(live, need_mask))
     def _masked():
