@@ -53,31 +53,52 @@ def simulate_step(sched, outputs):
 
 
 def test_rolling_prefills_share_chunk_budget():
-    sched = make_sarathi(chunk=128)
+    # budget is charged in PREFILL_TOKEN_PAD (q-tile) units: each run is
+    # padded to a whole tile in the compiled step, so two runs only share
+    # a batch when BOTH padded runs fit the (padded) chunk budget
+    sched = make_sarathi(chunk=256)
     sched.add_seq(make_seq("a", 300))
     sched.add_seq(make_seq("b", 100))
     out = sched.schedule()
     metas = out.scheduled_seq_metadata_list
     # "a" takes the whole budget; nothing left for "b"
     assert [m.seq_id for m in metas] == ["a"]
-    assert metas[0].prompt_chunk_len == 128
+    assert metas[0].prompt_chunk_len == 256
     simulate_step(sched, out)
-    out = sched.schedule()
-    assert [m.prompt_chunk_len for m in out.scheduled_seq_metadata_list] \
-        == [128]
-    simulate_step(sched, out)
-    # a's final chunk (44) leaves 84 budget -- rolling prefills admit "b"
-    # alongside it in the SAME batch (multi-prefill step)
+    # a's final chunk (44 -> one padded tile) leaves one whole 128-token
+    # tile -- rolling prefills admit "b" alongside it in the SAME batch
     out = sched.schedule()
     assert [(m.seq_id, m.prompt_chunk_len)
             for m in out.scheduled_seq_metadata_list] \
-        == [("a", 44), ("b", 84)]
+        == [("a", 44), ("b", 100)]
     simulate_step(sched, out)
-    # now a decodes while b finishes its prompt in the same batch
+    # now both decode
     out = sched.schedule()
     pairs = [(m.seq_id, m.prompt_chunk_len)
              for m in out.scheduled_seq_metadata_list]
-    assert ("a", 0) in pairs and ("b", 16) in pairs
+    assert ("a", 0) in pairs and ("b", 0) in pairs
+
+
+def test_padded_budget_never_overflows_prefill_region():
+    # a 44-token final chunk charges a full tile: a second prefill in
+    # the same step must NOT be admitted when only the unpadded residue
+    # would fit (the compiled step's prefill region is exactly
+    # round_up(chunk) wide)
+    sched = make_sarathi(chunk=128)
+    sched.add_seq(make_seq("a", 300))
+    sched.add_seq(make_seq("b", 100))
+    for _ in range(2):
+        out = sched.schedule()
+        assert [m.seq_id for m in out.scheduled_seq_metadata_list] == ["a"]
+        simulate_step(sched, out)
+    out = sched.schedule()  # a's final 44 tokens occupy the only tile
+    assert [(m.seq_id, m.prompt_chunk_len)
+            for m in out.scheduled_seq_metadata_list] == [("a", 44)]
+    simulate_step(sched, out)
+    out = sched.schedule()  # b prefills next step, a decodes
+    pairs = [(m.seq_id, m.prompt_chunk_len)
+             for m in out.scheduled_seq_metadata_list]
+    assert ("a", 0) in pairs and ("b", 100) in pairs
 
 
 def test_one_prefill_per_batch_when_rolling_disabled():
@@ -107,7 +128,11 @@ def test_max_prefills_per_step_caps_admission():
     assert pairs == [("a", 64), ("b", 64)]
 
 
-def test_decode_budget_shrinks_prefill_chunk():
+def test_decode_tokens_do_not_eat_prefill_budget():
+    # the compiled step gives decodes their own B rows, so a decoding
+    # seq must NOT shrink the prefill chunk (diverges from the
+    # reference's shared counter -- documented in
+    # SarathiScheduler._get_seq_next_num_prefill_tokens)
     sched = make_sarathi(chunk=128)
     sched.add_seq(make_seq("a", 64))
     out = sched.schedule()
@@ -117,7 +142,9 @@ def test_decode_budget_shrinks_prefill_chunk():
     chunk = next(m.prompt_chunk_len
                  for m in out.scheduled_seq_metadata_list
                  if m.seq_id == "b")
-    assert chunk == 127  # one decode token claimed by "a"
+    assert chunk == 128
+    assert any(m.seq_id == "a" and not m.is_prompt
+               for m in out.scheduled_seq_metadata_list)
 
 
 def test_preemption_under_memory_pressure():

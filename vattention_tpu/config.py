@@ -277,6 +277,13 @@ class ParallelConfig:
                 self.data_parallel_size)
 
 
+# q-tile granularity of the compiled step's prefill region (ModelRunner
+# pads each prefill run to this).  Chunked schedulers charge prefills
+# against the token budget at THIS granularity so the padded runs always
+# fit one fixed-width region (one jit signature for every mixed step).
+PREFILL_TOKEN_PAD = 128
+
+
 @dataclass
 class BaseSchedulerConfig:
     """ref: sarathi-lean/sarathi/config.py:254-391"""

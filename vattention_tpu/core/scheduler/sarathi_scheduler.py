@@ -15,7 +15,8 @@ from typing import List
 
 import numpy as np
 
-from vattention_tpu.config import CacheConfig, SarathiSchedulerConfig
+from vattention_tpu.config import (PREFILL_TOKEN_PAD, CacheConfig,
+                                   SarathiSchedulerConfig)
 from vattention_tpu.core.block_space_manager.vattention_block_space_manager import (
     vAttentionBlockSpaceManager,
 )
@@ -65,7 +66,19 @@ class SarathiScheduler(BaseScheduler):
 
     def _get_seq_next_num_prefill_tokens(
             self, seq: Sequence, batch_contains_prefill: bool,
-            num_batched_tokens: int) -> int:
+            prefill_padded_tokens: int) -> int:
+        """Prefill token budgeting at the compiled step's granularity.
+
+        The budget is charged in PREFILL_TOKEN_PAD units (the q-tile
+        each run is padded to), so the padded runs of one step always
+        fit the model runner's fixed-width prefill region -- every mixed
+        step then shares ONE jit signature.  Decode tokens do NOT eat
+        prefill budget: the compiled step gives decodes their own B
+        rows, so its compute is n_pre + B regardless (this diverges from
+        the reference's shared counter, sarathi_scheduler.py:54-69,
+        because the reference's step cost is proportional to scheduled
+        tokens while ours is fixed-shape).
+        """
         assert not seq.is_finished()
         if self.enable_dynamic_chunking_schedule:
             stage_idx = int(np.ceil(
@@ -75,14 +88,18 @@ class SarathiScheduler(BaseScheduler):
             chunk_size = self._chunk_sizes[stage_idx]
         else:
             chunk_size = self.chunk_size
-        next_num = min(
-            seq.get_prompt_len() - seq.get_num_prompt_tokens_processed(),
-            chunk_size - num_batched_tokens)
-        if not batch_contains_prefill:
-            return next_num
-        if self.enable_rolling_prefills and num_batched_tokens < chunk_size:
-            return next_num
-        return 0  # one prefill per batch
+        if batch_contains_prefill and not self.enable_rolling_prefills:
+            return 0  # one prefill per batch
+        pad = PREFILL_TOKEN_PAD
+        budget = -(-chunk_size // pad) * pad
+        avail = budget - prefill_padded_tokens
+        if avail <= 0:
+            return 0
+        rem = (seq.get_prompt_len()
+               - seq.get_num_prompt_tokens_processed())
+        if -(-rem // pad) * pad <= avail:
+            return rem  # final partial tile fits padded
+        return min(rem, (avail // pad) * pad)
 
     def _schedule(self) -> SchedulerOutputs:
         now = time.monotonic()
@@ -93,6 +110,7 @@ class SarathiScheduler(BaseScheduler):
         scheduled: List[SequenceScheduleMetadata] = []
 
         num_batched_tokens = 0
+        prefill_padded = 0  # prefill budget used, in PAD units
         batch_contains_prefill = False
         if isinstance(self.block_manager, vAttentionBlockSpaceManager):
             self.block_manager.clear_promised_blocks()
@@ -133,13 +151,15 @@ class SarathiScheduler(BaseScheduler):
                 running.append(seq)
                 continue
             next_num = self._get_seq_next_num_prefill_tokens(
-                seq, batch_contains_prefill, num_batched_tokens)
+                seq, batch_contains_prefill, prefill_padded)
             if next_num == 0:
                 running.append(seq)
                 continue
             batch_contains_prefill = True
             num_prefills += 1
             num_batched_tokens += next_num
+            prefill_padded += (-(-next_num // PREFILL_TOKEN_PAD)
+                               * PREFILL_TOKEN_PAD)
             scheduled.append(SequenceScheduleMetadata.from_sequence(
                 seq, prompt_chunk_len=next_num))
             running.append(seq)
@@ -159,7 +179,7 @@ class SarathiScheduler(BaseScheduler):
             if num_prefills >= self.max_prefills_per_step:
                 break
             next_num = self._get_seq_next_num_prefill_tokens(
-                seq, batch_contains_prefill, num_batched_tokens)
+                seq, batch_contains_prefill, prefill_padded)
             if next_num == 0:
                 break
             seq = self.waiting.pop(0)
@@ -167,6 +187,8 @@ class SarathiScheduler(BaseScheduler):
             batch_contains_prefill = True
             num_prefills += 1
             num_batched_tokens += next_num
+            prefill_padded += (-(-next_num // PREFILL_TOKEN_PAD)
+                               * PREFILL_TOKEN_PAD)
             scheduled.append(SequenceScheduleMetadata.from_sequence(
                 seq, prompt_chunk_len=next_num))
             running.append(seq)

@@ -106,10 +106,19 @@ class ModelRunner:
         self.chunk_budget = round_up(
             config.scheduler_config.get_max_num_batched_tokens(
                 config.model_config.max_model_len), self.q_tile)
-        # fixed prefill-region width (see _prepare_inputs): scheduled
-        # chunks sum to <= chunk_budget, plus per-run q_tile rounding
-        self.n_pre_fixed = (self.chunk_budget
-                            + self.max_prefills * self.q_tile)
+        # fixed prefill-region width (see _prepare_inputs): chunked
+        # schedulers charge prefills against the budget in q-tile units
+        # (PREFILL_TOKEN_PAD), so padded runs always fit chunk_budget
+        self.n_pre_fixed = self.chunk_budget
+        if self.pp > 1:
+            # mixed-step pipelining cuts the prefill region into pp
+            # microbatches of whole q tiles
+            self.n_pre_fixed = round_up(self.n_pre_fixed,
+                                        self.pp * self.q_tile)
+        # pp > 1: append runs must not cross prefill-microbatch
+        # boundaries (parallel/pipeline.split_mixed_microbatches)
+        self.pp_run_split = (self.n_pre_fixed // self.pp
+                             if self.pp > 1 else None)
         self.B = config.cache_config.max_batch_size
         self.S = cache_engine.table_width
         from vattention_tpu.model_executor.attention import (
@@ -153,6 +162,12 @@ class ModelRunner:
                 max_context_len=config.model_config.max_model_len,
                 scratch_row=cache_engine.scratch_row,
                 q_tile=self.q_tile)
+        # captured at construction: under multi-replica serving each
+        # engine owns its own store and the class singleton points at
+        # whichever replica was built last
+        from vattention_tpu.metrics.metrics_store import MetricsStore
+
+        self._metrics_store = MetricsStore.get_instance()
         self._rng = jax.random.PRNGKey(seed)
         # persistent device buffer of each slot's latest sampled token --
         # the on-device feedback path that lets the next decode step start
@@ -180,14 +195,28 @@ class ModelRunner:
         inputs = self._splice_prev_tokens(inputs, tok_buf, n_pre)
         from jax.sharding import PartitionSpec as P
 
-        from vattention_tpu.parallel.pipeline import (pipeline_stage_step,
-                                                      split_microbatches)
+        from vattention_tpu.parallel.pipeline import (
+            pipeline_stage_step, split_microbatches,
+            split_mixed_microbatches)
         from vattention_tpu.parallel.sharding import kv_cache_spec
 
         B = inputs.dec_seqlens.shape[0]
+        m_sel = None
+        n_pre_micro = n_pre
         if n_pre == 0 and self.pp > 1 and B % self.pp == 0:
             M = self.pp
             stacked = split_microbatches(inputs, M, 0)
+        elif (n_pre > 0 and self.pp > 1 and B % self.pp == 0
+              and n_pre % (self.pp * self.q_tile) == 0
+              and not self.is_pod):
+            # mixed steps pipeline too: the chunk is cut by position so
+            # prefill iterations overlap across stages (ref keeps
+            # num_stages batches in flight, pipeline_parallel_llm_engine
+            # .py:71-84; here it is one compiled rotation)
+            M = self.pp
+            stacked, m_sel = split_mixed_microbatches(
+                inputs, M, n_pre, self.q_tile)
+            n_pre_micro = n_pre // M
         else:
             M = 1
             stacked = jax.tree.map(lambda x: x[None], inputs)
@@ -198,7 +227,7 @@ class ModelRunner:
         def body(params, kv_cache, stacked_inputs):
             return pipeline_stage_step(
                 self.model, self.backend, params, kv_cache,
-                stacked_inputs, n_pre=n_pre, num_micro=M,
+                stacked_inputs, n_pre=n_pre_micro, num_micro=M,
                 num_stages=self.pp, pp_axis="pp",
                 kv_len_hint=kv_len_hint)
 
@@ -209,11 +238,18 @@ class ModelRunner:
             out_specs=(cache_spec, P("pp" if self.pp > 1 else None)),
             check_vma=False)
         kv_cache, logits_all = sm(params, kv_cache, stacked)
-        # last stage's logits [M, Bm, V]
+        # last stage's logits [M, Bm or B, V]
         logits = logits_all[-M:] if self.pp > 1 else logits_all
         V = logits.shape[-1]
-        logits = logits.reshape(-1, V)[:B] if n_pre == 0 else \
-            logits.reshape(-1, V)
+        if n_pre == 0:
+            logits = logits.reshape(-1, V)[:B]
+        elif m_sel is not None:
+            # mixed microbatches emit slot-aligned [M, B, V]; each
+            # slot's logits come from the microbatch owning its sample
+            logits = jnp.take_along_axis(
+                logits, m_sel[None, :, None], axis=0)[0]
+        else:
+            logits = logits.reshape(-1, V)
         rng, step_rng = jax.random.split(inputs.rng)
         tokens = sample_tokens(logits, inputs.temperatures, inputs.top_p,
                                inputs.top_k, step_rng)
@@ -269,8 +305,14 @@ class ModelRunner:
             [[0], np.cumsum(pads)]).astype(np.int64)
         n_pre = int(run_offs[-1])
         if prefills:
-            assert n_pre <= self.n_pre_fixed, (n_pre, self.n_pre_fixed)
-            n_pre = self.n_pre_fixed
+            # chunked schedulers guarantee n_pre <= n_pre_fixed (padded
+            # budget accounting); whole-prompt schedulers (vllm/orca/ft)
+            # may exceed it -- a doubling ladder keeps their signature
+            # count logarithmic
+            fixed = self.n_pre_fixed
+            while fixed < n_pre:
+                fixed *= 2
+            n_pre = fixed
         B, S = self.B, self.S
         T = n_pre + B
 
@@ -358,7 +400,8 @@ class ModelRunner:
         # the scalar-prefetch buffer blew the 1MB SMEM limit.
         bt = (getattr(ce, "block_tokens", None)
               or getattr(ce, "block_size", 1))
-        max_runs = max(8, -(-n_pre // max(bt, 1)) + K_max + 1)
+        max_runs = max(8, -(-n_pre // max(bt, 1)) + K_max + 1
+                       + (self.pp if self.pp_run_split else 0))
         pre_runs = np.zeros((max_runs, 3), np.int32)
         nrun = 0
         for i in range(len(prefills)):
@@ -368,6 +411,12 @@ class ModelRunner:
             off = int(run_offs[i])
             r = append_rows[off:off + chunk]
             breaks = np.nonzero(np.diff(r) != 1)[0] + 1
+            if self.pp_run_split is not None:
+                Wb = self.pp_run_split
+                lo = (off // Wb + 1) * Wb
+                extra = np.arange(lo, off + chunk, Wb,
+                                  dtype=np.int64) - off
+                breaks = np.union1d(breaks, extra).astype(np.int64)
             starts = np.concatenate([[0], breaks])
             ends = np.concatenate([breaks, [chunk]])
             assert nrun + len(starts) <= max_runs, (
@@ -458,12 +507,11 @@ class ModelRunner:
         import time as _time
 
         from vattention_tpu.metrics.constants import CpuOperationMetrics
-        from vattention_tpu.metrics.metrics_store import MetricsStore
 
         _t0 = _time.perf_counter()
         inputs, n_pre, kv_len_hint = self._prepare_inputs(
             seq_metadata_list)
-        MetricsStore.get_instance().push_cpu_operation_time(
+        self._metrics_store.push_cpu_operation_time(
             CpuOperationMetrics.PREPARE_INPUTS, _time.perf_counter() - _t0)
         kv_cache, self._tok_buf, tokens, self._rng = self._step_fn(
             self.params, self.cache_engine.kv_cache, self._tok_buf,

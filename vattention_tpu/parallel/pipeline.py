@@ -11,10 +11,16 @@ stage runs the same code, and activations move stage-to-stage with
 ``ppermute`` -- microbatch m occupies stage s at tick t = m + s, so all
 stages compute concurrently once the pipe fills.
 
-The decode batch is split into ``num_micro`` equal microbatches (decode
-steps dominate serving; a step containing a prefill chunk runs as a
-single microbatch, paying the pipeline bubble the reference also pays on
-prefill-heavy microbatches).
+The decode batch is split into ``num_micro`` equal microbatches.  A step
+containing a prefill chunk is split by POSITION: the chunk's q tiles are
+cut into ``num_micro`` contiguous sub-chunks (plus an equal share of the
+decode slots), and causality makes the GPipe order correct for free --
+sub-chunk m+1 enters stage s only after sub-chunk m has left it, so the
+KV rows it attends to are already appended.  This is the TPU analog of
+the reference keeping ``num_pipeline_stages`` batches in flight so
+prefill iterations also overlap
+(engine/pipeline_parallel_llm_engine.py:71-84); here the overlap is
+compiled into one program instead of coordinated by engine threads.
 """
 
 from __future__ import annotations
@@ -66,6 +72,9 @@ def pipeline_stage_step(model, backend, params, kv_cache_local,
         # invalid ticks must not write the cache
         inp = inp._replace(append_rows=jnp.where(
             valid, inp.append_rows, -1))
+        if inp.pre_runs is not None:
+            # zero-length runs are skipped by the run-append kernel
+            inp = inp._replace(pre_runs=jnp.where(valid, inp.pre_runs, 0))
         x_first = model.embed(params, inp.token_ids)
         x_in = jnp.where(s == 0, x_first, x_buf)
         x_out, kv_cache = model.run_layers(
@@ -124,3 +133,91 @@ def split_microbatches(inputs: StepInputs, num_micro: int, n_pre: int
         dec_tile_rows=(split_slot(inputs.dec_tile_rows)
                        if inputs.dec_tile_rows is not None else None),
     )
+
+
+def split_mixed_microbatches(inputs: StepInputs, num_micro: int,
+                             n_pre: int, q_tile: int):
+    """Stack a MIXED (prefill + decode) StepInputs into [M, ...]
+    microbatches by position.
+
+    The prefill region is cut into M contiguous sub-chunks of W =
+    n_pre/M tokens (token order preserved, so GPipe tick order satisfies
+    intra-chunk causality -- see module docstring) and the B decode
+    slots into M groups of B/M.  Per-microbatch token layout is
+    [W prefill rows | B/M decode rows].
+
+    ``pre_runs`` must already be split at W boundaries by the host
+    (model_runner breaks append runs there when pp > 1); rows belonging
+    to other microbatches are zeroed (the run-append kernel skips
+    zero-length runs).
+
+    Returns ``(stacked, m_sel)`` where ``m_sel [B]`` is the microbatch
+    whose head output carries each slot's sampled logits.
+    """
+    M = num_micro
+    W = n_pre // M
+    B = inputs.dec_seqlens.shape[0]
+    Bm = B // M
+    assert n_pre % M == 0 and W % q_tile == 0 and B % M == 0
+
+    def split_tok(x):  # [n_pre + B, ...] -> [M, W + Bm, ...]
+        pre = x[:n_pre].reshape((M, W) + x.shape[1:])
+        dec = x[n_pre:].reshape((M, Bm) + x.shape[1:])
+        return jnp.concatenate([pre, dec], axis=1)
+
+    def split_slot(x):  # [B, ...] -> [M, Bm, ...]
+        return x.reshape((M, Bm) + x.shape[1:])
+
+    def bcast(x):
+        return (None if x is None
+                else jnp.broadcast_to(x, (M,) + x.shape))
+
+    # sample ownership: which microbatch computes each slot's logits
+    si = inputs.sample_idx
+    is_pre = jnp.logical_and(si >= 0, si < n_pre)
+    is_dec = si >= n_pre
+    m_sel = jnp.where(
+        is_pre, si // W,
+        jnp.where(is_dec, (si - n_pre) // Bm, 0)).astype(jnp.int32)
+    loc = jnp.where(
+        is_pre, si % W,
+        jnp.where(is_dec, W + (si - n_pre) % Bm, -1)).astype(jnp.int32)
+    mm = jnp.arange(M, dtype=jnp.int32)
+    sample_m = jnp.where(m_sel[None, :] == mm[:, None], loc[None, :], -1)
+
+    # per-microbatch append runs: keep rows whose (W-aligned-split) src
+    # range falls in this microbatch's token window, rebased to it
+    runs = inputs.pre_runs  # [S, 3] (dst_row0, src_tok0, n)
+    src = runs[:, 1][None, :]
+    own = jnp.logical_and(runs[:, 2][None, :] > 0,
+                          jnp.logical_and(src >= mm[:, None] * W,
+                                          src < (mm[:, None] + 1) * W))
+    runs_b = jnp.broadcast_to(runs, (M,) + runs.shape)
+    runs_m = jnp.where(
+        own[..., None],
+        jnp.stack([runs_b[..., 0], runs_b[..., 1] - (mm[:, None] * W),
+                   runs_b[..., 2]], axis=-1),
+        0)
+
+    stacked = StepInputs(
+        token_ids=split_tok(inputs.token_ids),
+        positions=split_tok(inputs.positions),
+        append_rows=split_tok(inputs.append_rows),
+        pre_seg_row=bcast(inputs.pre_seg_row),
+        pre_seg_cum=bcast(inputs.pre_seg_cum),
+        pre_qinfo=bcast(inputs.pre_qinfo),
+        dec_seg_row=split_slot(inputs.dec_seg_row),
+        dec_seg_cum=split_slot(inputs.dec_seg_cum),
+        dec_seqlens=split_slot(inputs.dec_seqlens),
+        sample_idx=sample_m,
+        temperatures=split_slot(inputs.temperatures),
+        top_p=split_slot(inputs.top_p),
+        top_k=split_slot(inputs.top_k),
+        rng=jax.random.split(inputs.rng, M),
+        pre_runs=runs_m,
+        qt_run=inputs.qt_run.reshape(M, W // q_tile, 2),
+        pre_tile_rows=bcast(inputs.pre_tile_rows),
+        dec_tile_rows=(split_slot(inputs.dec_tile_rows)
+                       if inputs.dec_tile_rows is not None else None),
+    )
+    return stacked, m_sel
