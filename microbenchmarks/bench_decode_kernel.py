@@ -33,6 +33,8 @@ def main():
     p.add_argument("--head-dim", type=int, default=128)
     p.add_argument("--layers", type=int, default=32)
     p.add_argument("--block-tokens", type=int, default=256)
+    p.add_argument("--kv-dtype", default="bf16", help="bf16 | fp8")
+    p.add_argument("--layers-alloc", type=int, default=2)
     args = p.parse_args()
 
     from vattention_tpu.ops.flash_decode import flash_decode
@@ -45,11 +47,15 @@ def main():
     ctx_pad = ((ctx + args.block_tokens - 1) // args.block_tokens
                ) * args.block_tokens
     R = ctx_pad * B
-    Lc = 2  # cache layers allocated (keeps HBM use modest)
+    Lc = args.layers_alloc  # cache layers allocated (keeps HBM modest)
 
     rng = np.random.default_rng(0)
-    kv = jnp.asarray(rng.standard_normal((Lc, 2, Hkv, R, D)),
-                     jnp.bfloat16)
+    kv_dt = {"fp8": jnp.float8_e4m3fn, "int8": jnp.int8,
+             "bf16": jnp.bfloat16}[args.kv_dtype]
+    if args.kv_dtype == "int8":
+        kv = jnp.asarray(rng.integers(-3, 3, (Lc, 2, Hkv, R, D)), kv_dt)
+    else:
+        kv = jnp.asarray(rng.standard_normal((Lc, 2, Hkv, R, D)), kv_dt)
     q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.bfloat16)
     seg_row = np.zeros((B, S), np.int32)
     seg_cum = np.zeros((B, S + 1), np.int32)
@@ -59,7 +65,8 @@ def main():
     seqlens = jnp.full(B, ctx, jnp.int32)
     dinfo = jnp.zeros(1, jnp.int32)
 
-    kv_bytes = B * ctx * Hkv * D * 2 * 2  # K+V, bf16
+    kv_itemsize = 1 if args.kv_dtype == "fp8" else 2
+    kv_bytes = B * ctx * Hkv * D * 2 * kv_itemsize  # K+V
     print(f"KV traffic per call: {kv_bytes/1e6:.1f} MB; roofline per "
           f"{L} calls: {L*kv_bytes/HBM_BW*1e3:.2f} ms")
 

@@ -520,3 +520,24 @@ def test_paged_flash_prefill_multi_matches_reference():
             np.asarray(out[offs[r]:offs[r] + spec["chunk"]]),
             np.asarray(ref), atol=2e-3, rtol=2e-3,
             err_msg=f"run {r}")
+
+
+def test_upcast_kv_exact_all_fp8_patterns():
+    """ops/utils.upcast_kv must reproduce astype exactly for every
+    finite e4m3 bit pattern (NaN excluded by contract: the append path
+    only stores saturated finite values)."""
+    from vattention_tpu.ops.utils import upcast_kv
+
+    bits = np.arange(256, dtype=np.uint8)
+    x = jax.lax.bitcast_convert_type(
+        jnp.asarray(bits), jnp.float8_e4m3fn)
+    for dt in (jnp.bfloat16, jnp.float32):
+        ref = np.asarray(x.astype(dt), np.float32)
+        got = np.asarray(upcast_kv(x, dt), np.float32)
+        mismatch = (ref != got) & ~np.isnan(ref)
+        assert not mismatch.any(), np.nonzero(mismatch)
+    # non-fp8 inputs pass through astype unchanged
+    y = jnp.asarray([1.5, -2.0], jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(upcast_kv(y, jnp.float32)),
+        np.asarray(y.astype(jnp.float32)))

@@ -30,7 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, icdiv, idiv,
-                                      interpret_mode, tpu_params)
+                                      interpret_mode, tpu_params,
+                                      upcast_kv)
 
 
 def _decode_kernel(
@@ -88,10 +89,10 @@ def _decode_kernel(
 
         k = gather(0)
         v = gather(1)
-        # compute-dtype matmuls (bf16 MXU, f32 accumulate); fp8
-        # arena upcasts
-        if k.dtype != q.dtype:
-            k = k.astype(q.dtype)
+        # compute-dtype matmuls (bf16 MXU, f32 accumulate); fp8 arenas
+        # upcast via the manual widening (Mosaic's native fp8 convert is
+        # ~8x off bandwidth -- ops/utils.upcast_kv)
+        k = upcast_kv(k, q.dtype)
         # Mosaic's matmul takes ONE batch dim: fold (bs, Hkv)
         s = jax.lax.dot_general(
             q.reshape(bs * Hkv, G, D), k.reshape(bs * Hkv, kv_tile, D),
@@ -122,8 +123,7 @@ def _decode_kernel(
         p = jnp.where(valid, jnp.exp(s - m_new[..., None]), 0.0)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1)
-        if v.dtype != q_ref.dtype:
-            v = v.astype(q_ref.dtype)
+        v = upcast_kv(v, q_ref.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype).reshape(bs * Hkv, G, kv_tile),
             v.reshape(bs * Hkv, kv_tile, D),

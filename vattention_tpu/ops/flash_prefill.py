@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, icdiv, idiv,
                                       interpret_mode, seg_row_lookup,
-                                      tpu_params)
+                                      tpu_params, upcast_kv)
 
 
 def _prefill_kernel(
@@ -106,9 +106,10 @@ def _prefill_kernel(
              jnp.concatenate([r[...] for r in v_refs], axis=0))
         # keep matmul inputs in the compute dtype: bf16 hits the MXU
         # at full rate (f32 accumulate); f32 test mode stays
-        # bit-exact; fp8 arenas upcast to the query dtype
-        if k.dtype != q.dtype:
-            k = k.astype(q.dtype)
+        # bit-exact; fp8 arenas upcast via the manual widening
+        # (Mosaic's native fp8 convert is ~8x off bandwidth --
+        # ops/utils.upcast_kv)
+        k = upcast_kv(k, q.dtype)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [q_tile*G, kv_tile]
@@ -129,8 +130,7 @@ def _prefill_kernel(
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1)
-        if v.dtype != q.dtype:
-            v = v.astype(q.dtype)
+        v = upcast_kv(v, q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v,
             dimension_numbers=(((1,), (0,)), ((), ())),

@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, icdiv, idiv,
                                       interpret_mode,
                                       tile_rows_from_segments_jnp,
-                                      tpu_params)
+                                      tpu_params, upcast_kv)
 
 
 # Maximum prefill KV depth validated for the fused kernel on hardware.
@@ -207,8 +207,8 @@ def _pod_kernel(
         q = qp_ref[...].reshape(Hkv, G * q_tile, D)
         k = kp_ref[...]
         # compute-dtype matmul (bf16 MXU, f32 accumulate); fp8 upcasts
-        if k.dtype != q.dtype:
-            k = k.astype(q.dtype)
+        # via manual widening (ops/utils.upcast_kv)
+        k = upcast_kv(k, q.dtype)
         s = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -224,8 +224,7 @@ def _pod_kernel(
         p = jnp.exp(s - m_new[..., None])
         alpha = jnp.exp(m_prev - m_new)
         pl_ref[...] = pl_ref[...] * alpha + jnp.sum(p, axis=-1)
-        v = vp_ref[...].astype(q.dtype) if vp_ref.dtype != q.dtype \
-            else vp_ref[...]
+        v = upcast_kv(vp_ref[...], q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -277,9 +276,7 @@ def _pod_kernel(
             dacc_ref[b] = jnp.zeros_like(dacc_ref[b])
 
         q = qd_ref[b].reshape(Hkv, G, D)
-        k = kbuf[slot]
-        if k.dtype != q.dtype:
-            k = k.astype(q.dtype)
+        k = upcast_kv(kbuf[slot], q.dtype)
         s = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -293,9 +290,7 @@ def _pod_kernel(
         p = jnp.exp(s - m_new[..., None])
         alpha = jnp.exp(m_prev - m_new)
         dl_ref[b] = dl_ref[b] * alpha + jnp.sum(p, axis=-1)
-        v = vbuf[slot]
-        if v.dtype != q.dtype:
-            v = v.astype(q.dtype)
+        v = upcast_kv(vbuf[slot], q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),

@@ -35,6 +35,11 @@ class PagedCacheEngine(BaseCacheEngine):
         if dtype is None:
             dtype = (jnp.float32 if model_config.dtype == "float32"
                      else jnp.bfloat16)
+        # honor the KV quantization setting exactly like the vattn
+        # arena does (A/B runs must quantize BOTH pools -- this engine
+        # silently staying bf16 made the round-3 fp8 grid unfair)
+        if config.cache_config.kv_quant == "fp8":
+            dtype = jnp.float8_e4m3fn
         self.dtype = dtype
         self.num_layers = model_config.get_num_layers(parallel_config)
         self.num_kv_heads = model_config.get_num_kv_heads(parallel_config)
@@ -44,9 +49,10 @@ class PagedCacheEngine(BaseCacheEngine):
         self.block_size = cache_config.block_size
         self.max_batch_size = cache_config.max_batch_size
 
+        itemsize = jnp.dtype(dtype).itemsize
         kv_bytes_per_block = (2 * self.num_layers * self.num_kv_heads
                               * self.head_size_padded * self.block_size
-                              * (4 if dtype == jnp.float32 else 2))
+                              * itemsize)
         assert cache_config.memory_for_gpu is not None
         self.num_blocks = max(
             1, cache_config.memory_for_gpu // kv_bytes_per_block)
