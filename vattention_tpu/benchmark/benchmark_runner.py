@@ -113,6 +113,8 @@ class BenchmarkRunnerLauncher:
     def __init__(self, engine_kwargs: dict, generator_provider: str,
                  generator_config: dict, *, num_replicas: int = 1,
                  time_limit_s: Optional[float] = None, warmup: bool = True):
+        from vattention_tpu.metrics.metrics_store import MetricsStore
+
         self.num_replicas = num_replicas
         generator = RequestGeneratorRegistry.get(generator_provider,
                                                  generator_config)
@@ -124,16 +126,27 @@ class BenchmarkRunnerLauncher:
         if num_replicas > 1:
             kwargs["gpu_memory_utilization"] = (
                 kwargs.get("gpu_memory_utilization", 0.9) / num_replicas)
-        self.runners = [
-            BenchmarkRunner(kwargs, generator_provider, generator_config,
-                            time_limit_s=time_limit_s, warmup=warmup,
-                            requests=per_replica[r])
-            for r in range(num_replicas)
-        ]
+        self.runners = []
+        self.replica_stores = []
+        for r in range(num_replicas):
+            if num_replicas > 1:
+                # each replica owns its OWN metrics store (the reference
+                # merges per-replica stores at run end, metrics_store.py
+                # :867+); engine/worker/runner capture the fresh
+                # singleton during construction
+                MetricsStore._instance = None
+            runner = BenchmarkRunner(
+                kwargs, generator_provider, generator_config,
+                time_limit_s=time_limit_s, warmup=warmup,
+                requests=per_replica[r])
+            self.runners.append(runner)
+            self.replica_stores.append(runner.engine.get_metric_store())
 
     def run(self) -> dict:
         if self.num_replicas == 1:
             return self.runners[0].run()
+        from vattention_tpu.metrics.metrics_store import MetricsStore
+
         for runner in self.runners:
             if runner.warmup:
                 runner._warmup()
@@ -149,9 +162,16 @@ class BenchmarkRunnerLauncher:
                     num_steps += 1
                 else:
                     live.remove(runner)
-        store = self.runners[0].engine.get_metric_store()
-        summary = store.summary()
+        # merge replica stores into one aggregate (ref :867+)
+        MetricsStore._instance = None
+        agg = MetricsStore.get_or_create(
+            self.runners[0].engine.config.metrics_config)
+        for store in self.replica_stores:
+            agg.merge(store)
+        summary = agg.summary()
         summary["totals"]["num_steps"] = num_steps
         summary["totals"]["num_replicas"] = self.num_replicas
-        store.plot()
+        summary["per_replica_totals"] = [
+            store.summary()["totals"] for store in self.replica_stores]
+        agg.plot()
         return summary

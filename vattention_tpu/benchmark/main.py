@@ -57,6 +57,10 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--decode-scale-factor", type=float, default=1.0)
     p.add_argument("--time-limit", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-replicas", type=int, default=1,
+                   help="serving replicas; requests round-robin across "
+                        "them and metrics stores are merged (ref "
+                        "benchmark_runner.py:201-348)")
     # metrics
     p.add_argument("--output-dir", default="benchmark_output")
     p.add_argument("--enable-chrome-trace", action="store_true")
@@ -121,6 +125,25 @@ def run_from_args(args) -> dict:
         length_generator=args.length_generator,
         seed=args.seed,
     )
+    if args.num_replicas > 1:
+        from vattention_tpu.benchmark.benchmark_runner import (
+            BenchmarkRunnerLauncher,
+        )
+
+        launcher = BenchmarkRunnerLauncher(
+            engine_kwargs, args.request_generator_provider,
+            generator_config, num_replicas=args.num_replicas,
+            time_limit_s=args.time_limit, warmup=not args.no_warmup)
+        try:
+            summary = launcher.run()
+        finally:
+            for r in launcher.runners:
+                r.engine.cleanup()
+            from vattention_tpu.metrics.metrics_store import MetricsStore
+
+            MetricsStore._instance = None
+        print(json.dumps(summary["totals"], indent=2))
+        return summary
     runner = BenchmarkRunner(
         engine_kwargs, args.request_generator_provider, generator_config,
         time_limit_s=args.time_limit, warmup=not args.no_warmup,

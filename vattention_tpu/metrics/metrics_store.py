@@ -229,6 +229,9 @@ class MetricsStore:
         self.num_preempted += other.num_preempted
         self.num_completed_requests += other.num_completed_requests
         self.num_processed_tokens += other.num_processed_tokens
+        self.num_decode_tokens += other.num_decode_tokens
+        # aggregate wall clock spans every merged replica's run
+        self._run_start = min(self._run_start, other._run_start)
 
     def summary(self) -> Dict[str, Dict[str, float]]:
         wall = time.monotonic() - self._run_start
