@@ -3,11 +3,19 @@
 #
 # ref grid: scripts/benchmark_e2e_static_trace.py:7-13 -- ctx {32K, 64K,
 # 128K} x P:D {500,100,50} x backends {fa_vattn_2mb, fa_vattn_256kb,
-# fa_paged_256}, makespan metric (process_e2e_static.py:20-27).
+# fa_paged_256, fi_paged_16 analog}, makespan metric
+# (process_e2e_static.py:20-27).
 #
 # Model: yi-6b-200k-l16 (real Yi-6B per-layer geometry, half depth so
-# 128K fp8 KV + bf16 weights fit 16GiB -- the reference ran 80GB A100s).
-# fp8 KV; request counts scaled to chip-hour budget; batch per ctx.
+# 128K KV + bf16 weights fit 16GiB -- the reference ran 80GB A100s).
+# KV dtype: bf16 (the reference grid does not quantize KV); the fp8
+# pair is run as an explicit extra dimension -- BOTH engines quantize
+# (round-3's grid left the paged pool silently bf16, docs/PERF.md).
+# Request counts scaled to chip-hour budget; batch per ctx.
+#
+# IMPORTANT: cells must run EXCLUSIVELY -- a concurrent CPU-heavy
+# process (even a pytest run) starves XLA/Mosaic compilation and
+# poisons the makespan by minutes.
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_comp_cache
@@ -17,13 +25,18 @@ OUT=benchmark_output/longctx
 mkdir -p "$OUT"
 
 run_cfg () {
-  local ctx=$1 backend=$2 pd=$3 batch=$4 nreq=$5
+  local ctx=$1 backend=$2 pd=$3 batch=$4 nreq=$5 kvq=${6:-none}
   local decode=$(( ctx / (pd + 1) )); [ $decode -lt 1 ] && decode=1
   local prefill=$(( ctx - decode ))
   local tag="${backend}_c${ctx}_pd${pd}"
+  local kvflag=""
+  if [ "$kvq" != "none" ]; then
+    tag="${backend}_${kvq}_c${ctx}_pd${pd}"
+    kvflag="--kv-quant $kvq"
+  fi
   echo "=== $tag (B=$batch n=$nreq) ==="
   timeout 2400 python -m vattention_tpu.benchmark.main \
-    --model $MODEL --load-format zero --kv-quant fp8 \
+    --model $MODEL --load-format zero $kvflag \
     --attention-backend $backend --scheduler-type sarathi \
     --chunk-size 2048 --max-model-len $(( ctx + 128 )) \
     --max-batch-size $batch --max-num-seqs $batch \
@@ -34,7 +47,9 @@ run_cfg () {
     --output-dir "$OUT/$tag" 2>&1 | tail -20
 }
 
-for backend in fa_vattn_2mb fa_paged_256 fa_vattn_256kb; do
+# ctx sweep at P:D 100 (4 backends at 32K incl. the small-block paged
+# baseline; 3 at 64K/128K)
+for backend in fa_vattn_2mb fa_paged_256 fa_vattn_256kb fa_paged_16; do
   run_cfg 32768 $backend 100 8 8
 done
 for backend in fa_vattn_2mb fa_paged_256 fa_vattn_256kb; do
@@ -48,5 +63,9 @@ for pd in 500 50; do
   for backend in fa_vattn_2mb fa_paged_256; do
     run_cfg 32768 $backend $pd 8 8
   done
+done
+# fp8 KV pair (both engines quantized) at 64K
+for backend in fa_vattn_2mb fa_paged_256; do
+  run_cfg 65536 $backend 100 4 6 fp8
 done
 echo "grid done"

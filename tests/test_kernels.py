@@ -541,3 +541,52 @@ def test_upcast_kv_exact_all_fp8_patterns():
     np.testing.assert_array_equal(
         np.asarray(upcast_kv(y, jnp.float32)),
         np.asarray(y.astype(jnp.float32)))
+
+
+def test_paged_prefill_multi_small_blocks_kv_fetch():
+    """fi_paged_16-analog path: tiny blocks with kv_fetch > 1 (several
+    block-table-resolved DMAs per compute tile) must match reference."""
+    from vattention_tpu.ops.paged_attention import paged_flash_prefill_multi
+
+    rng = np.random.default_rng(9)
+    cache = make_cache(rng)
+    q_tile = 128
+    BT = 32
+    kv_fetch = 8  # kv_tile = 256
+    runs = [
+        dict(blocks=list(rng.permutation(40)[:22]), kv_len=700,
+             q_start=400, chunk=300),
+        dict(blocks=list(rng.permutation(40)[:12]), kv_len=384,
+             q_start=0, chunk=384),
+    ]
+    K = len(runs)
+    NB = max(len(r["blocks"]) for r in runs)
+    tables = np.zeros((K, NB), np.int32)
+    qinfo = np.zeros((K, 2), np.int32)
+    qt_run, q_parts, offs = [], [], []
+    off = 0
+    for r, spec in enumerate(runs):
+        tables[r, :len(spec["blocks"])] = spec["blocks"]
+        qinfo[r] = (spec["q_start"], spec["kv_len"])
+        pad = -(-spec["chunk"] // q_tile) * q_tile
+        q_parts.append(rng.standard_normal((pad, HQ, D)))
+        offs.append(off)
+        for lqt in range(pad // q_tile):
+            qt_run.append((r, lqt))
+        off += pad
+    q = jnp.asarray(np.concatenate(q_parts), jnp.float32)
+    out = paged_flash_prefill_multi(
+        q, cache, jnp.asarray(tables), jnp.asarray(qinfo),
+        jnp.asarray(np.array(qt_run, np.int32)),
+        jnp.asarray([0], jnp.int32), q_tile=q_tile, block_size=BT,
+        max_kv_tiles=-(-NB // kv_fetch), kv_fetch=kv_fetch)
+    for r, spec in enumerate(runs):
+        extents = [(b * BT, BT) for b in spec["blocks"]]
+        k, v = gather_kv(cache, 0, extents, spec["kv_len"])
+        ref = mha_reference(
+            q[offs[r]:offs[r] + spec["chunk"]], k, v, causal=True,
+            q_start=spec["q_start"])
+        np.testing.assert_allclose(
+            np.asarray(out[offs[r]:offs[r] + spec["chunk"]]),
+            np.asarray(ref), atol=2e-3, rtol=2e-3,
+            err_msg=f"run {r}")

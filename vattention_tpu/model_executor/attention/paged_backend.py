@@ -23,6 +23,12 @@ class PagedAttentionBackend:
         self.q_tile = q_tile
         self.block_size = block_size
         self.max_kv_tiles = cdiv(max_context_len, block_size)
+        # small-block pools fetch several blocks per prefill compute
+        # tile (fi_paged_16 analog: 256-wide MXU tiles, one DMA per
+        # block); 256-token blocks keep the original single-DMA tile
+        self.pre_kv_fetch = max(1, min(16, 256 // block_size))
+        self.pre_max_kv_tiles = cdiv(self.max_kv_tiles,
+                                     self.pre_kv_fetch)
         # sub-WINDOW blocks let different seqs' decode rows share a
         # 32-row RMW window -> the batched append must serialize
         self.append_serialize = block_size % WINDOW != 0
@@ -69,15 +75,17 @@ class PagedAttentionBackend:
         pre_hint, dec_hint = kv_len_hint or (None, None)
         outs = []
         if n_prefill_tokens > 0:
-            tiles = self.max_kv_tiles
+            tiles = self.pre_max_kv_tiles
             if pre_hint:
-                tiles = min(tiles, cdiv(pre_hint, self.block_size))
+                tiles = min(tiles, cdiv(
+                    pre_hint, self.block_size * self.pre_kv_fetch))
             outs.append(paged_flash_prefill_multi(
                 q[:n_prefill_tokens], kv_cache, inputs.pre_seg_row,
                 inputs.pre_qinfo, inputs.qt_run,
                 layer_idx.astype(jnp.int32),
                 q_tile=self.q_tile, block_size=self.block_size,
-                sm_scale=sm_scale, max_kv_tiles=tiles))
+                sm_scale=sm_scale, max_kv_tiles=tiles,
+                kv_fetch=self.pre_kv_fetch))
         if q.shape[0] > n_prefill_tokens:
             tiles = self.max_kv_tiles
             if dec_hint:

@@ -102,7 +102,8 @@ def paged_flash_prefill(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("q_tile", "block_size", "max_kv_tiles", "sm_scale"))
+    static_argnames=("q_tile", "block_size", "max_kv_tiles", "sm_scale",
+                     "kv_fetch"))
 def paged_flash_prefill_multi(
     q: jax.Array,             # [Tq, Hq, D], Tq % q_tile == 0
     kv_cache: jax.Array,      # [L, 2, Hkv, R, D]
@@ -114,24 +115,32 @@ def paged_flash_prefill_multi(
     q_tile: int = 128,
     block_size: int = 256,
     sm_scale: float | None = None,
-    max_kv_tiles: int | None = None,
+    max_kv_tiles: int | None = None,  # in kv_tile units
+    kv_fetch: int = 1,
 ) -> jax.Array:
     """K prompts' chunks in one launch (paged twin of
-    flash_prefill_multi; see that docstring for the run-table design)."""
+    flash_prefill_multi; see that docstring for the run-table design).
+
+    ``kv_fetch``: number of blocks fetched per compute tile (kv_tile =
+    block_size * kv_fetch), each its own block-table-resolved DMA --
+    small-block configs (the reference's fi_paged_16 analog) keep MXU
+    tiles wide while honestly paying the per-block DMA granularity."""
     Tq, Hq, D = q.shape
     L, _, Hkv, R, _ = kv_cache.shape
-    kv_tile = block_size
+    kv_tile = block_size * kv_fetch
     assert Tq % q_tile == 0
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
+    NB = block_tables.shape[1]
     if max_kv_tiles is None:
-        max_kv_tiles = block_tables.shape[1]
+        max_kv_tiles = cdiv(NB, kv_fetch)
+
     n_q_tiles = Tq // q_tile
     G = Hq // Hkv
     q_blk = q.reshape(Tq // q_tile, q_tile, Hkv, G, D)
 
     def kv_index_map(h, qt, kt, qt_run_ref, qinfo_ref, table_ref,
-                     linfo_ref, kv01):
+                     linfo_ref, kv01, part):
         r = qt_run_ref[qt, 0]
         lqt = qt_run_ref[qt, 1]
         layer = linfo_ref[0]
@@ -141,18 +150,25 @@ def paged_flash_prefill_multi(
         diag_tile = jnp.minimum(idiv(q_last_pos, kv_tile),
                                 n_kv_tiles - 1)
         t_eff = jnp.minimum(kt, diag_tile)
-        return (layer, kv01, h, table_ref[r, t_eff], 0)
+        # clamp the part's block index to the run's last valid block so
+        # a tile crossing the table tail cannot DMA a garbage entry
+        # (rows past kv_len are masked in the kernel)
+        n_blocks = jnp.maximum(icdiv(kv_len, block_size), 1)
+        b_eff = jnp.minimum(t_eff * kv_fetch + part, n_blocks - 1)
+        return (layer, kv01, h, table_ref[r, b_eff], 0)
 
+    kv_specs = [
+        pl.BlockSpec((None, None, None, block_size, D),
+                     functools.partial(kv_index_map, kv01=kv01, part=p))
+        for kv01 in (0, 1) for p in range(kv_fetch)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(Hkv, n_q_tiles, max_kv_tiles),
         in_specs=[
             pl.BlockSpec((None, q_tile, None, G, D),
                          lambda h, qt, kt, *_: (qt, 0, h, 0, 0)),
-            pl.BlockSpec((None, None, None, kv_tile, D),
-                         functools.partial(kv_index_map, kv01=0)),
-            pl.BlockSpec((None, None, None, kv_tile, D),
-                         functools.partial(kv_index_map, kv01=1)),
+            *kv_specs,
         ],
         out_specs=pl.BlockSpec((None, q_tile, None, G, D),
                                lambda h, qt, kt, *_: (qt, 0, h, 0, 0)),
@@ -164,9 +180,13 @@ def paged_flash_prefill_multi(
     )
 
     def kernel(qt_run_ref, qinfo_ref, table_ref, linfo_ref, q_ref,
-               k_ref, v_ref, out_ref, m_ref, l_ref, acc_ref):
-        _prefill_kernel(table_ref, table_ref, qinfo_ref, q_ref, k_ref,
-                        v_ref, out_ref, m_ref, l_ref, acc_ref,
+               *rest):
+        kv_refs, (out_ref, m_ref, l_ref, acc_ref) = \
+            rest[:2 * kv_fetch], rest[2 * kv_fetch:]
+        _prefill_kernel(table_ref, table_ref, qinfo_ref, q_ref,
+                        tuple(kv_refs[:kv_fetch]),
+                        tuple(kv_refs[kv_fetch:]),
+                        out_ref, m_ref, l_ref, acc_ref,
                         q_tile=q_tile, kv_tile=kv_tile, num_segments=0,
                         sm_scale=sm_scale, qt_run_ref=qt_run_ref)
 
@@ -176,7 +196,8 @@ def paged_flash_prefill_multi(
         out_shape=jax.ShapeDtypeStruct(q_blk.shape, q.dtype),
         compiler_params=tpu_params(("parallel", "parallel", "arbitrary")),
         interpret=interpret_mode(),
-    )(qt_run, qinfo, block_tables, linfo, q_blk, kv_cache, kv_cache)
+    )(qt_run, qinfo, block_tables, linfo, q_blk,
+      *([kv_cache] * (2 * kv_fetch)))
     return out.reshape(Tq, Hq, D)
 
 
