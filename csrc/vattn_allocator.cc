@@ -10,14 +10,18 @@
 // serving critical path at large arena sizes.
 //
 // C ABI (ctypes-consumed, see vattention_tpu/memory/native.py):
-//   one allocator instance per process (the reference is a singleton
-//   too, vattention/apis.h:1).
+//   handle-based -- vattn_create() returns an instance handle passed as
+//   the first argument to every call, so multiple engines (replicas,
+//   A/B harnesses) coexist in one process.  The reference is a process
+//   singleton (vattention/apis.h:1); instances are the TPU-side
+//   generalization the multi-replica launcher needs.
 
 #include <algorithm>
 #include <cassert>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <numeric>
 #include <vector>
 
@@ -557,121 +561,145 @@ struct Allocator {
   }
 };
 
-Allocator g;
+std::vector<std::unique_ptr<Allocator>> g_instances;
+
+Allocator& inst(int64_t h) { return *g_instances.at((size_t)h); }
 
 }  // namespace
 
 extern "C" {
 
-void vattn_init_kvcache(int64_t num_layers, int64_t num_kv_heads,
+int64_t vattn_create() {
+  g_instances.push_back(std::make_unique<Allocator>());
+  return (int64_t)g_instances.size() - 1;
+}
+
+void vattn_destroy(int64_t h) {
+  Allocator& a = inst(h);
+  if (h >= 0 && (size_t)h < g_instances.size()) g_instances[h].reset();
+}
+
+void vattn_init_kvcache(int64_t h, int64_t num_layers, int64_t num_kv_heads,
                         int64_t head_size, int64_t max_batch_size,
                         int64_t max_context_length, int64_t dtype_bytes,
                         int64_t page_size, int megacache,
                         int64_t max_segments) {
-  g = Allocator();
-  g.num_layers = num_layers;
-  g.num_kv_heads = num_kv_heads;
-  g.head_size = head_size;
-  g.max_batch_size = max_batch_size;
-  g.max_context_length = max_context_length;
-  g.dtype_bytes = dtype_bytes;
-  g.page_size = page_size;
-  g.megacache = megacache != 0;
-  g.max_segments = max_segments;
+  Allocator& a = inst(h);
+  a = Allocator();
+  a.num_layers = num_layers;
+  a.num_kv_heads = num_kv_heads;
+  a.head_size = head_size;
+  a.max_batch_size = max_batch_size;
+  a.max_context_length = max_context_length;
+  a.dtype_bytes = dtype_bytes;
+  a.page_size = page_size;
+  a.megacache = megacache != 0;
+  a.max_segments = max_segments;
   int64_t per_token = num_kv_heads * head_size * dtype_bytes;
-  if (g.megacache) per_token *= num_layers;
-  g.block_tokens = std::max<int64_t>(1, page_size / per_token);
+  if (a.megacache) per_token *= num_layers;
+  a.block_tokens = std::max<int64_t>(1, page_size / per_token);
   // round down to a 32-row multiple (DMA sublane alignment); mirrors
   // memory/allocator.py
-  if (g.block_tokens > 32) g.block_tokens -= g.block_tokens % 32;
-  g.pages_per_kvblock = g.megacache ? 2 : 2 * num_layers;
-  g.max_blocks_per_req = g.tokens_to_blocks(max_context_length);
-  g.seq_lens.assign(max_batch_size, 0);
-  g.segs.assign(max_batch_size, {});
+  if (a.block_tokens > 32) a.block_tokens -= a.block_tokens % 32;
+  a.pages_per_kvblock = a.megacache ? 2 : 2 * num_layers;
+  a.max_blocks_per_req = a.tokens_to_blocks(max_context_length);
+  a.seq_lens.assign(max_batch_size, 0);
+  a.segs.assign(max_batch_size, {});
 }
 
-int64_t vattn_reserve_physical_pages(int64_t free_memory) {
-  int64_t num_pages = free_memory / g.page_size;
-  num_pages -= num_pages % g.pages_per_kvblock;
-  g.num_arena_blocks = num_pages / g.pages_per_kvblock;
-  g.owner.assign(g.num_arena_blocks, -1);
+int64_t vattn_reserve_physical_pages(int64_t h, int64_t free_memory) {
+  Allocator& a = inst(h);
+  int64_t num_pages = free_memory / a.page_size;
+  num_pages -= num_pages % a.pages_per_kvblock;
+  a.num_arena_blocks = num_pages / a.pages_per_kvblock;
+  a.owner.assign(a.num_arena_blocks, -1);
   return num_pages;
 }
 
-int64_t vattn_block_tokens() { return g.block_tokens; }
-int64_t vattn_num_arena_blocks() { return g.num_arena_blocks; }
+int64_t vattn_block_tokens(int64_t h) { return inst(h).block_tokens; }
+int64_t vattn_num_arena_blocks(int64_t h) {
+  return inst(h).num_arena_blocks;
+}
 
-int64_t vattn_num_free_kvblocks() {
-  return g.free_blocks() + g.overcommitted();
+int64_t vattn_num_free_kvblocks(int64_t h) {
+  Allocator& a = inst(h);
+  return a.free_blocks() + a.overcommitted();
 }
 
 // seq_lens: int64[max_batch_size].  Returns #moves written into
 // (moves_src, moves_dst) up to moves_cap.
-int64_t vattn_step_async(const int64_t* seq_lens, int32_t* moves_src,
+int64_t vattn_step_async(int64_t h, const int64_t* seq_lens, int32_t* moves_src,
                          int32_t* moves_dst, int64_t moves_cap) {
-  g.plan.clear();
-  for (int64_t s = 0; s < g.max_batch_size; s++)
-    g.seq_lens[s] = seq_lens[s];
-  for (int64_t s = 0; s < g.max_batch_size; s++)
-    g.map_for_step(s, g.seq_lens[s]);
-  g.memory_management();
-  int64_t n = std::min<int64_t>((int64_t)g.plan.size(), moves_cap);
+  Allocator& a = inst(h);
+  a.plan.clear();
+  for (int64_t s = 0; s < a.max_batch_size; s++)
+    a.seq_lens[s] = seq_lens[s];
+  for (int64_t s = 0; s < a.max_batch_size; s++)
+    a.map_for_step(s, a.seq_lens[s]);
+  a.memory_management();
+  int64_t n = std::min<int64_t>((int64_t)a.plan.size(), moves_cap);
   for (int64_t i = 0; i < n; i++) {
-    moves_src[i] = g.plan[i].src;
-    moves_dst[i] = g.plan[i].dst;
+    moves_src[i] = a.plan[i].src;
+    moves_dst[i] = a.plan[i].dst;
   }
-  return (int64_t)g.plan.size();
+  return (int64_t)a.plan.size();
 }
 
-int64_t vattn_step_sync(const int64_t* seq_lens, int eager_reclaim,
+int64_t vattn_step_sync(int64_t h, const int64_t* seq_lens, int eager_reclaim,
                         int32_t* moves_src, int32_t* moves_dst,
                         int64_t moves_cap) {
-  g.plan.clear();
-  for (int64_t s = 0; s < g.max_batch_size; s++) {
+  Allocator& a = inst(h);
+  a.plan.clear();
+  for (int64_t s = 0; s < a.max_batch_size; s++) {
     int64_t sl = seq_lens[s];
-    g.seq_lens[s] = sl;
-    if (eager_reclaim && sl == 0 && g.mapped(s) != 0) {
-      g.release_some(s, 0);
+    a.seq_lens[s] = sl;
+    if (eager_reclaim && sl == 0 && a.mapped(s) != 0) {
+      a.release_some(s, 0);
       continue;
     }
-    g.map_for_step(s, sl);
+    a.map_for_step(s, sl);
   }
-  int64_t n = std::min<int64_t>((int64_t)g.plan.size(), moves_cap);
+  int64_t n = std::min<int64_t>((int64_t)a.plan.size(), moves_cap);
   for (int64_t i = 0; i < n; i++) {
-    moves_src[i] = g.plan[i].src;
-    moves_dst[i] = g.plan[i].dst;
+    moves_src[i] = a.plan[i].src;
+    moves_dst[i] = a.plan[i].dst;
   }
-  return (int64_t)g.plan.size();
+  return (int64_t)a.plan.size();
 }
 
-int64_t vattn_alloc_new_batch_idx(int64_t seqlen) {
-  int64_t nr_required = g.tokens_to_blocks(seqlen);
+int64_t vattn_alloc_new_batch_idx(int64_t h, int64_t seqlen) {
+  Allocator& a = inst(h);
+  int64_t nr_required = a.tokens_to_blocks(seqlen);
   int64_t new_id = -1;
-  for (int64_t s = 0; s < g.max_batch_size; s++) {
-    if (g.active(s)) continue;
+  for (int64_t s = 0; s < a.max_batch_size; s++) {
+    if (a.active(s)) continue;
     if (new_id == -1) { new_id = s; continue; }
-    if (g.mapped(s) >= nr_required && g.mapped(s) < g.mapped(new_id))
+    if (a.mapped(s) >= nr_required && a.mapped(s) < a.mapped(new_id))
       new_id = s;
   }
-  if (new_id != -1) g.seq_lens[new_id] = seqlen;
+  if (new_id != -1) a.seq_lens[new_id] = seqlen;
   return new_id;
 }
 
-void vattn_free_batch_idx(int64_t slot) { g.seq_lens[slot] = 0; }
+void vattn_free_batch_idx(int64_t h, int64_t slot) {
+  inst(h).seq_lens[slot] = 0;
+}
 
-void vattn_set_deferred_reclamation(int val) {
-  g.deferred_reclaim = val != 0;
+void vattn_set_deferred_reclamation(int64_t h, int val) {
+  Allocator& a = inst(h);
+  a.deferred_reclaim = val != 0;
 }
 
 // out tables: seg_row int32[B*S] (arena token rows), seg_tokens
 // int32[B*S]
-void vattn_get_batch_segments(int32_t* seg_row, int32_t* seg_tokens) {
-  for (int64_t s = 0; s < g.max_batch_size; s++) {
-    for (int64_t j = 0; j < g.max_segments; j++) {
-      int64_t idx = s * g.max_segments + j;
-      if (j < (int64_t)g.segs[s].size()) {
-        seg_row[idx] = (int32_t)(g.segs[s][j].first * g.block_tokens);
-        seg_tokens[idx] = (int32_t)(g.segs[s][j].second * g.block_tokens);
+void vattn_get_batch_segments(int64_t h, int32_t* seg_row, int32_t* seg_tokens) {
+  Allocator& a = inst(h);
+  for (int64_t s = 0; s < a.max_batch_size; s++) {
+    for (int64_t j = 0; j < a.max_segments; j++) {
+      int64_t idx = s * a.max_segments + j;
+      if (j < (int64_t)a.segs[s].size()) {
+        seg_row[idx] = (int32_t)(a.segs[s][j].first * a.block_tokens);
+        seg_tokens[idx] = (int32_t)(a.segs[s][j].second * a.block_tokens);
       } else {
         seg_row[idx] = 0;
         seg_tokens[idx] = 0;
@@ -680,14 +708,16 @@ void vattn_get_batch_segments(int32_t* seg_row, int32_t* seg_tokens) {
   }
 }
 
-void vattn_get_seq_lens(int64_t* out) {
-  for (int64_t s = 0; s < g.max_batch_size; s++) out[s] = g.seq_lens[s];
+void vattn_get_seq_lens(int64_t h, int64_t* out) {
+  Allocator& a = inst(h);
+  for (int64_t s = 0; s < a.max_batch_size; s++) out[s] = a.seq_lens[s];
 }
 
-void vattn_cleanup() {
-  for (int64_t s = 0; s < g.max_batch_size; s++) {
-    g.seq_lens[s] = 0;
-    g.release_some(s, 0);
+void vattn_cleanup(int64_t h) {
+  Allocator& a = inst(h);
+  for (int64_t s = 0; s < a.max_batch_size; s++) {
+    a.seq_lens[s] = 0;
+    a.release_some(s, 0);
   }
 }
 

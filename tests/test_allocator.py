@@ -324,10 +324,21 @@ def test_native_allocator_parity():
     assert nat.block_tokens == ref.block_tokens
     assert nat.num_arena_blocks == ref.num_arena_blocks
 
+    # a second simultaneous instance (different geometry) proves the
+    # handle-based C ABI isolates engines in one process (multi-replica)
+    other = NativeVAttentionAllocator()
+    other.init_kvcache(num_layers=2, num_kv_heads=4, head_size=128,
+                       max_batch_size=4, max_context_length=2048,
+                       dtype_bytes=2, page_size=64 * KB)
+    other.reserve_physical_pages(4 * MB)
+    other_sid = other.alloc_new_batch_idx(100)
+    other.step_async(other.seq_lens)
+    other_segs = other.get_batch_segments()
+
     rng = np.random.default_rng(7)
     mirror = ArenaMirror2(nat)
     active = {}
-    for it in range(400):
+    for it in range(1000):
         if len(active) < 7 and rng.random() < 0.5:
             prompt = int(rng.integers(10, 1500))
             if nat.tokens_to_blocks(prompt) < nat.num_free_kvblocks():
@@ -352,6 +363,12 @@ def test_native_allocator_parity():
         # free-block accounting stays consistent with the reference impl
         assert abs(nat.num_free_kvblocks()
                    - ref.num_free_kvblocks()) <= 4
+        if it % 50 == 0:
+            # the two implementations walk identical layouts
+            nrow, ntok = nat.get_batch_segments()
+            rrow, rtok = ref.get_batch_segments()
+            np.testing.assert_array_equal(nrow, rrow)
+            np.testing.assert_array_equal(ntok, rtok)
         mirror.apply(plan)
         for sid in active:
             mirror.write_new_blocks(sid)
@@ -360,6 +377,12 @@ def test_native_allocator_parity():
             nat.free_batch_idx(sid)
             ref.free_batch_idx(sid)
             del active[sid]
+    # the second instance was untouched by 1000 steps on the first
+    np.testing.assert_array_equal(other.get_batch_segments()[0],
+                                  other_segs[0])
+    np.testing.assert_array_equal(other.get_batch_segments()[1],
+                                  other_segs[1])
+    assert other.seq_lens[other_sid] == 100
 
 
 class ArenaMirror2:

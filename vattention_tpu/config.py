@@ -255,9 +255,10 @@ class CacheConfig:
     megacache: bool = False
     # FP8/INT8 KV quantization ("none" | "fp8" | "int8")
     kv_quant: str = "none"
-    # use the native C++ allocator when built (make -C csrc); the C++
-    # side is a process singleton, so keep it off for multi-engine tests
-    use_native_allocator: bool = False
+    # native C++ allocator (csrc/, built by make -C csrc): None = auto
+    # (use whenever the library is built -- the C ABI is handle-based,
+    # so replicas/A-B engines coexist); True/False force it
+    use_native_allocator: Optional[bool] = None
 
 
 @dataclass

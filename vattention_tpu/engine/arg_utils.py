@@ -27,7 +27,7 @@ class EngineArgs:
     gpu_memory_utilization: float = 0.9
     max_batch_size: int = 64
     kv_quant: str = "none"
-    use_native_allocator: bool = False
+    use_native_allocator: "bool | None" = None
     # parallel
     pipeline_parallel_size: int = 1
     tensor_parallel_size: int = 1

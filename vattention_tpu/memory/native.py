@@ -28,41 +28,57 @@ def _load():
     lib = ctypes.CDLL(_LIB_PATH)
     i64, i32p, i64p = (ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
                       ctypes.POINTER(ctypes.c_int64))
-    lib.vattn_init_kvcache.argtypes = [i64] * 7 + [ctypes.c_int, i64]
+    lib.vattn_create.restype = i64
+    lib.vattn_destroy.argtypes = [i64]
+    lib.vattn_init_kvcache.argtypes = [i64] * 8 + [ctypes.c_int, i64]
     lib.vattn_reserve_physical_pages.restype = i64
-    lib.vattn_reserve_physical_pages.argtypes = [i64]
+    lib.vattn_reserve_physical_pages.argtypes = [i64, i64]
     lib.vattn_block_tokens.restype = i64
+    lib.vattn_block_tokens.argtypes = [i64]
     lib.vattn_num_arena_blocks.restype = i64
+    lib.vattn_num_arena_blocks.argtypes = [i64]
     lib.vattn_num_free_kvblocks.restype = i64
+    lib.vattn_num_free_kvblocks.argtypes = [i64]
     lib.vattn_step_async.restype = i64
-    lib.vattn_step_async.argtypes = [i64p, i32p, i32p, i64]
+    lib.vattn_step_async.argtypes = [i64, i64p, i32p, i32p, i64]
     lib.vattn_step_sync.restype = i64
-    lib.vattn_step_sync.argtypes = [i64p, ctypes.c_int, i32p, i32p, i64]
+    lib.vattn_step_sync.argtypes = [i64, i64p, ctypes.c_int, i32p, i32p,
+                                    i64]
     lib.vattn_alloc_new_batch_idx.restype = i64
-    lib.vattn_alloc_new_batch_idx.argtypes = [i64]
-    lib.vattn_free_batch_idx.argtypes = [i64]
-    lib.vattn_set_deferred_reclamation.argtypes = [ctypes.c_int]
-    lib.vattn_get_batch_segments.argtypes = [i32p, i32p]
-    lib.vattn_get_seq_lens.argtypes = [i64p]
+    lib.vattn_alloc_new_batch_idx.argtypes = [i64, i64]
+    lib.vattn_free_batch_idx.argtypes = [i64, i64]
+    lib.vattn_set_deferred_reclamation.argtypes = [i64, ctypes.c_int]
+    lib.vattn_get_batch_segments.argtypes = [i64, i32p, i32p]
+    lib.vattn_get_seq_lens.argtypes = [i64, i64p]
+    lib.vattn_cleanup.argtypes = [i64]
     return lib
 
 
 class NativeVAttentionAllocator:
     """Drop-in for VAttentionAllocator backed by the C++ core.
 
-    One instance per process (the C++ side is a singleton, matching the
-    reference's global allocator, vattention/apis.h:1).
+    Handle-based: each Python instance owns a C++ instance (created via
+    vattn_create), so multiple engines -- serving replicas, A/B
+    harnesses -- coexist in one process.  The reference is a process
+    singleton (vattention/apis.h:1).
     """
 
     def __init__(self):
         self.lib = _load()
+        self._h = int(self.lib.vattn_create())
         self.is_configured = False
+
+    def __del__(self):
+        try:
+            self.lib.vattn_destroy(self._h)
+        except Exception:  # noqa: BLE001 -- interpreter teardown
+            pass
 
     def init_kvcache(self, num_layers, num_kv_heads, head_size,
                      max_batch_size, max_context_length, dtype_bytes,
                      page_size, megacache=False, max_segments=8):
         self.lib.vattn_init_kvcache(
-            num_layers, num_kv_heads, head_size, max_batch_size,
+            self._h, num_layers, num_kv_heads, head_size, max_batch_size,
             max_context_length, dtype_bytes, page_size,
             1 if megacache else 0, max_segments)
         self.max_batch_size = max_batch_size
@@ -78,9 +94,11 @@ class NativeVAttentionAllocator:
         self._dst = np.zeros(self._moves_cap, np.int32)
 
     def reserve_physical_pages(self, free_memory: int) -> int:
-        pages = int(self.lib.vattn_reserve_physical_pages(free_memory))
-        self.block_tokens = int(self.lib.vattn_block_tokens())
-        self.num_arena_blocks = int(self.lib.vattn_num_arena_blocks())
+        pages = int(self.lib.vattn_reserve_physical_pages(
+            self._h, free_memory))
+        self.block_tokens = int(self.lib.vattn_block_tokens(self._h))
+        self.num_arena_blocks = int(
+            self.lib.vattn_num_arena_blocks(self._h))
         return pages
 
     @property
@@ -91,6 +109,7 @@ class NativeVAttentionAllocator:
     def seq_lens(self) -> np.ndarray:
         out = np.zeros(self.max_batch_size, np.int64)
         self.lib.vattn_get_seq_lens(
+            self._h,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return out
 
@@ -101,7 +120,7 @@ class NativeVAttentionAllocator:
         return int(n) * self.block_tokens
 
     def num_free_kvblocks(self) -> int:
-        return int(self.lib.vattn_num_free_kvblocks())
+        return int(self.lib.vattn_num_free_kvblocks(self._h))
 
     def _plan(self, n: int) -> RelocationPlan:
         plan = RelocationPlan()
@@ -114,6 +133,7 @@ class NativeVAttentionAllocator:
     def step_async(self, seq_lens: Sequence[int]) -> RelocationPlan:
         arr = np.asarray(seq_lens, np.int64)
         n = int(self.lib.vattn_step_async(
+            self._h,
             arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             self._src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self._dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -124,6 +144,7 @@ class NativeVAttentionAllocator:
                   eager_reclaim: bool = False) -> RelocationPlan:
         arr = np.asarray(seq_lens, np.int64)
         n = int(self.lib.vattn_step_sync(
+            self._h,
             arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             1 if eager_reclaim else 0,
             self._src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -132,23 +153,38 @@ class NativeVAttentionAllocator:
         return self._plan(n)
 
     def alloc_new_batch_idx(self, seqlen: int) -> int:
-        return int(self.lib.vattn_alloc_new_batch_idx(int(seqlen)))
+        return int(self.lib.vattn_alloc_new_batch_idx(self._h, int(seqlen)))
 
     def free_batch_idx(self, slot: int) -> None:
-        self.lib.vattn_free_batch_idx(int(slot))
+        self.lib.vattn_free_batch_idx(self._h, int(slot))
 
     def set_deferred_reclamation(self, val: bool) -> None:
-        self.lib.vattn_set_deferred_reclamation(1 if val else 0)
+        self.lib.vattn_set_deferred_reclamation(self._h, 1 if val else 0)
 
     def get_batch_segments(self) -> Tuple[np.ndarray, np.ndarray]:
         B, S = self.max_batch_size, self.max_segments
         seg_row = np.zeros(B * S, np.int32)
         seg_tok = np.zeros(B * S, np.int32)
         self.lib.vattn_get_batch_segments(
+            self._h,
             seg_row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             seg_tok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         return seg_row.reshape(B, S), seg_tok.reshape(B, S)
 
+    def fragmentation_overhead(self) -> float:
+        """Fraction of arena blocks lost to over-commitment/headroom
+        (mirrors memory/allocator.py:878-887)."""
+        if getattr(self, "num_arena_blocks", 0) == 0:
+            return 0.0
+        seq_lens = self.seq_lens
+        seg_row, seg_tok = self.get_batch_segments()
+        required = int(sum(self.tokens_to_blocks(int(s))
+                           for s in seq_lens if s > 0))
+        used = int(sum(
+            int(seg_tok[b].sum()) // self.block_tokens
+            for b in range(self.max_batch_size) if seq_lens[b] > 0))
+        return (used - required) / self.num_arena_blocks
+
     def cleanup(self) -> None:
-        self.lib.vattn_cleanup()
+        self.lib.vattn_cleanup(self._h)
         self.is_configured = False

@@ -59,6 +59,13 @@ class VAttnCacheEngine(BaseCacheEngine):
         self.sync_mode = AttentionBackend.is_sync(backend)
 
         use_native = cache_config.use_native_allocator
+        if use_native is None:
+            # auto: prefer the native core whenever it is built (the
+            # differential fuzz in tests/test_allocator.py holds the
+            # two implementations to identical layouts)
+            from vattention_tpu.memory.native import native_available
+
+            use_native = native_available()
         if use_native:
             from vattention_tpu.memory.native import (
                 NativeVAttentionAllocator, native_available)
