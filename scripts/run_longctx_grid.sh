@@ -15,7 +15,10 @@
 #
 # IMPORTANT: cells must run EXCLUSIVELY -- a concurrent CPU-heavy
 # process (even a pytest run) starves XLA/Mosaic compilation and
-# poisons the makespan by minutes.
+# poisons the makespan by minutes.  Each cell self-warms (the harness
+# warmup request compiles BOTH serving signatures now that the prefill
+# region is fixed-width), so makespans contain no compile stalls and
+# warm/cold cache state cannot skew a cell.
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_comp_cache
@@ -43,7 +46,7 @@ run_cfg () {
     --gpu-memory-utilization 0.95 \
     --interval-generator static --length-generator fixed \
     --num-requests $nreq --prefill-tokens $prefill \
-    --decode-tokens $decode --no-warmup \
+    --decode-tokens $decode \
     --output-dir "$OUT/$tag" 2>&1 | tail -20
 }
 

@@ -61,10 +61,14 @@ class VattnAttentionBackend:
         self.pre_n_sub = self.wide_max_kv_tiles * self.wide_kv_fetch
         # decode tiling: 256-token compute tiles measured fastest on v5e
         # (bigger tiles raise the per-stream VMEM floor without more
-        # bandwidth; decode is per-seq-DMA-bound, not MXU-bound)
-        self.dec_kv_fetch = max(1, min(8, 256 // self.kv_tile))
-        self.dec_kv_tile = self.kv_tile * self.dec_kv_fetch
-        self.dec_sub = self.dec_kv_tile // self.dec_kv_fetch
+        # bandwidth; decode is per-seq-DMA-bound, not MXU-bound).  The
+        # decode tile is chosen independently of the prefill tile: large
+        # blocks (2MB pages -> 4096-token blocks) still decode at 256
+        # (512-wide decode tiles measured ~45% slower at 64K depth)
+        dec_base = select_kv_tile(block_tokens, 256)
+        self.dec_kv_fetch = max(1, min(8, 256 // dec_base))
+        self.dec_kv_tile = dec_base * self.dec_kv_fetch
+        self.dec_sub = dec_base
         self.dec_max_kv_tiles = cdiv(min(max_context_len, arena_rows),
                                      self.dec_kv_tile)
         self.dec_n_sub = self.dec_max_kv_tiles * self.dec_kv_fetch

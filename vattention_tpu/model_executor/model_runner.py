@@ -435,8 +435,11 @@ class ModelRunner:
             # reference's own single-phase fallback
             # (fused_attn_interface.py:39-77)
             if int(pre_qinfo[0, 1]) <= POD_KV_LEN_LIMIT:
+                # weave only the REAL chunk's q tiles (run_offs[-1]);
+                # the fixed-width region's tail tiles would add full
+                # kv-depth walks of garbage work to the schedule
                 pod_sched = build_pod_schedule(
-                    n_pre, self.q_tile, self.backend.kv_tile,
+                    int(run_offs[-1]), self.q_tile, self.backend.kv_tile,
                     int(pre_qinfo[0, 1]), int(pre_qinfo[0, 0]),
                     dec_seqlens)
         # one batched host->device transfer for the whole pytree: through
