@@ -3,21 +3,25 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "roofline": N}
 
-Workload: continuous-batching decode steady state on a Yi-6B-class model
-(the reference benchmark grid's tp1 model, scripts/utils.py:27-32) -- B
-concurrent requests, each with a prefilled context, decoding greedily.
+Default mode (``--mode serving``) runs the reference's OWN headline
+workload -- a long-context static trace (equal-length requests, P:D 100,
+chunked prefill; scripts/benchmark_e2e_static_trace.py:7-13) -- on a
+real-Yi-6B-per-layer-geometry model at 32K context, A/B against the
+block-table paged baseline.  This is the regime the BASELINE north star
+is stated in (>= 1.1x tokens/s vs paged on long-context static traces).
+``--mode decode`` keeps the earlier pure-decode steady-state microbench
+(parity regime: both backends run the same decode kernel there).
 
-Two backends run the SAME workload:
-  - fa_vattn (contiguous-arena) -- ``value`` is its tokens/s/chip
-  - fa_paged_256 (block-table)  -- the reference A/B baseline
+Measurement: each backend self-warms (no compile stalls in the measured
+span), and the A/B runs V-P-P-V interleaved because chip throughput
+drifts +-8% in episodes of tens of minutes -- symmetric ordering
+cancels linear drift.
 
-``vs_baseline`` = vattn tokens/s / paged tokens/s: the north-star metric
-(>= 1.1x target, BASELINE.md).  ``roofline`` = vattn tokens/s / the
-HBM-bandwidth speed-of-light for the step (weights read once + each
-request's KV read once); 1.0 means the decode step runs at memory speed.
+``vs_baseline`` = vattn tokens/s / paged tokens/s.  ``roofline`` =
+vattn tokens/s / a speed-of-light bound for the workload (serving: MXU
+FLOPs bound; decode: HBM weights+KV traffic bound).
 
-Usage: python bench.py [--quick] [--model yi-6b-200k] [--batch 32]
-       [--ctx 2048] [--steps 30] [--skip-paged]
+Usage: python bench.py [--quick] [--mode serving|decode] [--skip-paged]
 """
 
 import os
@@ -112,13 +116,55 @@ def measure(args, backend):
     return rate, n / args.decode_steps
 
 
+def measure_serving(args, backend):
+    """Static-trace serving throughput (tok/s) for one backend: the
+    reference grid's workload (equal-length requests, P:D 100, chunked
+    prefill), warmed, makespan-based."""
+    from vattention_tpu.benchmark.benchmark_runner import BenchmarkRunner
+    from vattention_tpu.metrics.metrics_store import MetricsStore
+
+    MetricsStore._instance = None
+    decode = max(args.serving_ctx // 101, 1)
+    prefill = args.serving_ctx - decode
+    runner = BenchmarkRunner(
+        dict(model=args.serving_model, load_format="zero",
+             attention_backend=backend, scheduler_type="sarathi",
+             chunk_size=2048 if not args.quick else 128,
+             max_model_len=args.serving_ctx + 128,
+             max_batch_size=args.serving_batch,
+             max_num_seqs=args.serving_batch,
+             gpu_memory_utilization=0.93,
+             write_metrics=True, output_dir="/tmp/bench_serving"),
+        "synthetic",
+        dict(num_requests=args.serving_requests,
+             prefill_tokens=prefill, decode_tokens=decode,
+             interval_generator="static", length_generator="fixed",
+             seed=0),
+        warmup=True)
+    summary = runner.run()
+    runner.engine.cleanup()
+    MetricsStore._instance = None
+    import gc
+
+    gc.collect()
+    t = summary["totals"]
+    return t["processed_tokens"] / t["makespan_s"], t
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="tiny CPU smoke run (sanity only)")
+    p.add_argument("--mode", default="serving",
+                   choices=["serving", "decode"])
     p.add_argument("--model", default="yi-6b-200k")
     p.add_argument("--backend", default="fa_vattn_256kb")
     p.add_argument("--paged-backend", default="fa_paged_256")
+    # serving-mode workload (the 32K cell of the long-context grid)
+    p.add_argument("--serving-model", default="yi-6b-200k-l16")
+    p.add_argument("--serving-ctx", type=int, default=32768)
+    p.add_argument("--serving-batch", type=int, default=8)
+    p.add_argument("--serving-requests", type=int, default=8)
     p.add_argument("--skip-paged", action="store_true",
                    help="roofline-only run (vs_baseline falls back to "
                         "the roofline ratio)")
@@ -139,8 +185,59 @@ def main():
         args.model = "tiny-llama-debug"
         args.batch, args.ctx, args.decode_steps = 2, 256, 3
         args.max_model_len = 1024
+        args.serving_model = "tiny-llama-debug"
+        args.serving_ctx, args.serving_batch = 512, 2
+        args.serving_requests = 2
 
     from vattention_tpu.config import get_model_arch
+
+    if args.mode == "serving":
+        backend = ("fa_vattn_2mb" if args.backend == "fa_vattn_256kb"
+                   else args.backend)  # 2mb is the serving default
+        arch = get_model_arch(args.serving_model)
+        v1, t = measure_serving(args, backend)
+        # MXU-FLOPs speed-of-light for the trace: matmul flops per
+        # token + causal attention flops per request
+        p_body = arch.num_layers * (
+            arch.hidden_size * (arch.num_q_heads + 2 * arch.num_kv_heads)
+            * arch.head_dim
+            + arch.num_q_heads * arch.head_dim * arch.hidden_size
+            + 3 * arch.hidden_size * arch.intermediate_size)
+        attn_flops = (4 * (args.serving_ctx ** 2 / 2)
+                      * arch.num_q_heads * arch.head_dim)
+        total_flops = (2 * t["processed_tokens"] * p_body
+                       + args.serving_requests * attn_flops)
+        MXU_PEAK = 197e12  # v5e bf16
+        lb_tps = (t["processed_tokens"] / (total_flops / MXU_PEAK)
+                  if total_flops else 1.0)
+        if args.skip_paged:
+            print(json.dumps({
+                "metric": "serving_tokens_per_s_per_chip",
+                "value": round(v1, 1),
+                "unit": f"tok/s ({args.serving_model} static trace "
+                        f"ctx={args.serving_ctx} P:D 100 "
+                        f"n={args.serving_requests} B={args.serving_batch} "
+                        f"{backend})",
+                "vs_baseline": round(v1 / lb_tps, 3),
+                "roofline": round(v1 / lb_tps, 3),
+            }))
+            return
+        p1, _ = measure_serving(args, args.paged_backend)
+        p2, _ = measure_serving(args, args.paged_backend)
+        v2, _ = measure_serving(args, backend)
+        value = (v1 + v2) / 2
+        print(json.dumps({
+            "metric": "serving_tokens_per_s_per_chip",
+            "value": round(value, 1),
+            "unit": f"tok/s ({args.serving_model} static trace "
+                    f"ctx={args.serving_ctx} P:D 100 "
+                    f"n={args.serving_requests} B={args.serving_batch} "
+                    f"{backend} vs {args.paged_backend} "
+                    f"{(p1 + p2) / 2:.1f})",
+            "vs_baseline": round((v1 + v2) / max(p1 + p2, 1e-9), 3),
+            "roofline": round(value / lb_tps, 3),
+        }))
+        return
 
     tokens_per_s, concurrency = measure(args, args.backend)
 
@@ -158,15 +255,25 @@ def main():
                 * 2 * arch.num_layers * kv_dtype_bytes)
     roofline_step = (param_bytes + kv_bytes) / HBM_BW
     roofline_tps = concurrency / roofline_step if roofline_step else 1.0
-    roofline = tokens_per_s / roofline_tps if roofline_tps else 0.0
 
     if args.skip_paged:
+        roofline = tokens_per_s / roofline_tps if roofline_tps else 0.0
         vs_baseline = roofline
         unit_ab = ""
     else:
+        # V-P-P-V interleave: chip throughput drifts +-8% in episodes
+        # of tens of minutes (measured 2026-08-21: 1066..1257 tok/s for
+        # IDENTICAL code), so a single A-then-B comparison aliases the
+        # drift into the ratio; symmetric ordering cancels linear drift
         paged_tps, _ = measure(args, args.paged_backend)
-        vs_baseline = tokens_per_s / paged_tps if paged_tps else 0.0
-        unit_ab = f" vs {args.paged_backend} {paged_tps:.1f}"
+        paged2_tps, _ = measure(args, args.paged_backend)
+        v2_tps, _ = measure(args, args.backend)
+        vs_baseline = ((tokens_per_s + v2_tps)
+                       / max(paged_tps + paged2_tps, 1e-9))
+        tokens_per_s = (tokens_per_s + v2_tps) / 2
+        roofline = tokens_per_s / roofline_tps if roofline_tps else 0.0
+        unit_ab = (f" vs {args.paged_backend} "
+                   f"{(paged_tps + paged2_tps) / 2:.1f}")
 
     print(json.dumps({
         "metric": "decode_tokens_per_s_per_chip",

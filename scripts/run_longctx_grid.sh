@@ -38,16 +38,24 @@ run_cfg () {
     kvflag="--kv-quant $kvq"
   fi
   echo "=== $tag (B=$batch n=$nreq) ==="
-  timeout 2400 python -m vattention_tpu.benchmark.main \
-    --model $MODEL --load-format zero $kvflag \
-    --attention-backend $backend --scheduler-type sarathi \
-    --chunk-size 2048 --max-model-len $(( ctx + 128 )) \
-    --max-batch-size $batch --max-num-seqs $batch \
-    --gpu-memory-utilization 0.95 \
-    --interval-generator static --length-generator fixed \
-    --num-requests $nreq --prefill-tokens $prefill \
-    --decode-tokens $decode \
-    --output-dir "$OUT/$tag" 2>&1 | tail -20
+  for attempt in 1 2; do
+    timeout 2400 python -m vattention_tpu.benchmark.main \
+      --model $MODEL --load-format zero $kvflag \
+      --attention-backend $backend --scheduler-type sarathi \
+      --chunk-size 2048 --max-model-len $(( ctx + 128 )) \
+      --max-batch-size $batch --max-num-seqs $batch \
+      --gpu-memory-utilization 0.93 \
+      --interval-generator static --length-generator fixed \
+      --num-requests $nreq --prefill-tokens $prefill \
+      --decode-tokens $decode \
+      --output-dir "$OUT/$tag" > "$OUT/$tag.log" 2>&1 && break
+    # transient RESOURCE_EXHAUSTED: the previous cell's HBM frees
+    # lazily server-side; wait and retry once
+    echo "  attempt $attempt failed (see $OUT/$tag.log); retrying"
+    sleep 30
+  done
+  tail -6 "$OUT/$tag.log"
+  sleep 5  # let the server reclaim this cell's HBM
 }
 
 # ctx sweep at P:D 100 (4 backends at 32K incl. the small-block paged
