@@ -32,6 +32,8 @@ def main():
     p.add_argument("--trace-file", default=None,
                    help="CSV with num_prefill_tokens,num_decode_tokens")
     p.add_argument("--max-model-len", type=int, default=32768)
+    p.add_argument("--min-tokens", type=int, default=4096)
+    p.add_argument("--max-tokens", type=int, default=16384)
     p.add_argument("--max-batch-size", type=int, default=32)
     p.add_argument("--chunk-size", type=int, default=512)
     p.add_argument("--time-limit", type=float, default=None)
@@ -60,7 +62,8 @@ def main():
             else:
                 # arxiv-summarization-like lengths without the file
                 argv += ["--length-generator", "uniform",
-                         "--min-tokens", "4096", "--max-tokens", "16384"]
+                         "--min-tokens", str(args.min_tokens),
+                         "--max-tokens", str(args.max_tokens)]
             if args.time_limit:
                 argv += ["--time-limit", str(args.time_limit)]
             if args.test:

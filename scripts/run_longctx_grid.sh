@@ -58,25 +58,37 @@ run_cfg () {
   sleep 5  # let the server reclaim this cell's HBM
 }
 
-# ctx sweep at P:D 100 (4 backends at 32K incl. the small-block paged
-# baseline; 3 at 64K/128K)
-for backend in fa_vattn_2mb fa_paged_256 fa_vattn_256kb fa_paged_16; do
-  run_cfg 32768 $backend 100 8 8
-done
-for backend in fa_vattn_2mb fa_paged_256 fa_vattn_256kb; do
-  run_cfg 65536 $backend 100 4 6
-done
-for backend in fa_vattn_2mb fa_paged_256 fa_vattn_256kb; do
-  run_cfg 131072 $backend 100 2 4
-done
-# P:D ratio dimension at 32K (ref 500/100/50)
-for pd in 500 50; do
+# Cells run in value order so a truncated chip-hour budget still yields
+# the north-star evidence first.  TIER=pairs runs only the ctx-sweep
+# vattn-vs-paged pairs; TIER=headline adds the 32K extras (256kb page
+# size, small-block paged) and the P:D sweep; TIER=full adds the
+# 64K/128K 256kb cells and the fp8 pair.
+TIER=${TIER:-full}
+
+# 1. ctx sweep at P:D 100, the north-star A/B pair per ctx
+for ctx_b_n in "32768 8 8" "65536 4 6" "131072 2 4"; do
+  set -- $ctx_b_n
   for backend in fa_vattn_2mb fa_paged_256; do
-    run_cfg 32768 $backend $pd 8 8
+    run_cfg $1 $backend 100 $2 $3
   done
 done
-# fp8 KV pair (both engines quantized) at 64K
-for backend in fa_vattn_2mb fa_paged_256; do
-  run_cfg 65536 $backend 100 4 6 fp8
-done
+if [ "$TIER" != "pairs" ]; then
+  # 2. page-size + small-block-paged dimension at 32K
+  run_cfg 32768 fa_vattn_256kb 100 8 8
+  run_cfg 32768 fa_paged_16 100 8 8
+  # 3. P:D ratio dimension at 32K (ref 500/100/50)
+  for pd in 500 50; do
+    for backend in fa_vattn_2mb fa_paged_256; do
+      run_cfg 32768 $backend $pd 8 8
+    done
+  done
+fi
+if [ "$TIER" = "full" ]; then
+  run_cfg 65536 fa_vattn_256kb 100 4 6
+  run_cfg 131072 fa_vattn_256kb 100 2 4
+  # fp8 KV pair (both engines quantized) at 64K
+  for backend in fa_vattn_2mb fa_paged_256; do
+    run_cfg 65536 $backend 100 4 6 fp8
+  done
+fi
 echo "grid done"
