@@ -66,12 +66,15 @@ run_cfg () {
 TIER=${TIER:-full}
 
 # 1. ctx sweep at P:D 100, the north-star A/B pair per ctx
-for ctx_b_n in "32768 8 8" "65536 4 6" "131072 2 4"; do
-  set -- $ctx_b_n
-  for backend in fa_vattn_2mb fa_paged_256; do
-    run_cfg $1 $backend 100 $2 $3
+# (TIER=extras skips these, for resuming a budget-truncated grid)
+if [ "$TIER" != "extras" ]; then
+  for ctx_b_n in "32768 8 8" "65536 4 6" "131072 2 4"; do
+    set -- $ctx_b_n
+    for backend in fa_vattn_2mb fa_paged_256; do
+      run_cfg $1 $backend 100 $2 $3
+    done
   done
-done
+fi
 if [ "$TIER" != "pairs" ]; then
   # 2. page-size + small-block-paged dimension at 32K
   run_cfg 32768 fa_vattn_256kb 100 8 8
