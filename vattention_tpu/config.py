@@ -110,6 +110,23 @@ _ARCH_REGISTRY: Dict[str, ModelArch] = {
         "yi", num_layers=60, num_q_heads=56, num_kv_heads=8, head_dim=128,
         hidden_size=7168, intermediate_size=20480, vocab_size=64000,
         max_position_embeddings=200000, rope_theta=5000000.0),
+    # Second long-context grid geometries (VERDICT r4 #4: show the
+    # contiguous-arena win is not shape-tuned to Yi's GQA-8:1).  Mistral
+    # per-layer geometry (GQA 4:1, 8 kv heads -> 2x the KV bytes/token
+    # of Yi) at 8 layers so 32K x B8 KV (8.6GiB bf16) + weights fit the
+    # 16GiB chip; sliding window disabled so attention depth is real.
+    "mistral-7b-32k-l8": ModelArch(
+        "mistral", num_layers=8, num_q_heads=32, num_kv_heads=8,
+        head_dim=128, hidden_size=4096, intermediate_size=14336,
+        vocab_size=32000, max_position_embeddings=200000,
+        rope_theta=1000000.0, sliding_window=None),
+    # Falcon per-layer geometry (MQA, 1 kv head, head_dim 64 -> the
+    # arena's 128-lane head-padding path) at 8 layers, long-rope.
+    "falcon-7b-32k-l8": ModelArch(
+        "falcon", num_layers=8, num_q_heads=71, num_kv_heads=1,
+        head_dim=64, hidden_size=4544, intermediate_size=4 * 4544,
+        vocab_size=65024, max_position_embeddings=200000,
+        rope_theta=1000000.0, parallel_attn=True),
     "mistral-7b": ModelArch(
         "mistral", num_layers=32, num_q_heads=32, num_kv_heads=8, head_dim=128,
         hidden_size=4096, intermediate_size=14336, vocab_size=32000,

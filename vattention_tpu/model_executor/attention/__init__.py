@@ -9,8 +9,14 @@ The TPU build maps them onto Pallas kernel families:
                      over the contiguous arena (extent tables)
   *_PAGED         -> block-table Pallas kernels (A/B baseline)
   FA_POD*         -> fused prefill+decode kernel (ops/pod_fused.py)
-  FA_STREAMS*     -> prefill/decode as two overlapped pallas calls
-                     (POD baseline)
+  FA_STREAMS*     -> serial alias of the vattn path (docs/PARITY.md
+                     P10).  TPU has no CUDA-stream analog for two
+                     concurrent kernel launches; the serial path's two
+                     fixed-signature pallas calls already sit in one
+                     XLA program, where decode's KV DMAs overlap
+                     prefill's MXU work -- the overlap the reference's
+                     streams wrapper buys with a second stream.
+                     Kernel-level fusion beyond that is FA_POD.
   NO_OP           -> skip attention (profiling)
 
 GPU-specific FA-vs-FI distinctions collapse (there is one kernel library

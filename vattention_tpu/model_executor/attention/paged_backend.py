@@ -23,10 +23,16 @@ class PagedAttentionBackend:
         self.q_tile = q_tile
         self.block_size = block_size
         self.max_kv_tiles = cdiv(max_context_len, block_size)
+        import os as _os
+
         # small-block pools fetch several blocks per prefill compute
         # tile (fi_paged_16 analog: 256-wide MXU tiles, one DMA per
-        # block); 256-token blocks keep the original single-DMA tile
-        self.pre_kv_fetch = max(1, min(16, 256 // block_size))
+        # block).  PAGED_WIDE_TILE widens the compute tile past the
+        # default 256 (e.g. 512 runs fa_paged_256 at the arena's MXU
+        # tile width, 2 block DMAs per tile) -- the strongest-baseline
+        # control for the contiguity-vs-tile-width decomposition.
+        wide_pref = int(_os.environ.get("PAGED_WIDE_TILE", "256"))
+        self.pre_kv_fetch = max(1, min(16, wide_pref // block_size))
         self.pre_max_kv_tiles = cdiv(self.max_kv_tiles,
                                      self.pre_kv_fetch)
         # sub-WINDOW blocks let different seqs' decode rows share a
