@@ -77,11 +77,12 @@ def main():
         dec_seg_cum[b, 1:] = ctx_pad
     dec_seqlens = np.full(B, args.ctx, np.int32)
 
-    sched = build_pod_schedule(Tq, q_tile, kv_tile, args.history,
-                               q_start, dec_seqlens)
+    qinfo2 = np.array([[q_start, args.history]], np.int32)
+    sched = build_pod_schedule([Tq], q_tile, kv_tile, qinfo2,
+                               dec_seqlens)
     j = {k: jnp.asarray(v) for k, v in dict(
         pre_seg_row=pre_seg_row, pre_seg_cum=pre_seg_cum, qinfo=qinfo,
-        dec_seg_row=dec_seg_row, dec_seg_cum=dec_seg_cum,
+        qinfo2=qinfo2, dec_seg_row=dec_seg_row, dec_seg_cum=dec_seg_cum,
         dec_seqlens=dec_seqlens, sched=sched).items()}
 
     max_kv_tiles_pre = cdiv(hist_pad, 512)
@@ -108,10 +109,11 @@ def main():
     @jax.jit
     def fused(qp, qd, kv):
         for i in range(L):
-            qi = j["qinfo"].at[2].set(i % Lc)
+            li = jnp.full(1, i % Lc, jnp.int32)
             op, od = pod_fused_attention(
-                qp, qd, kv, j["sched"], j["pre_seg_row"],
-                j["pre_seg_cum"], qi, j["dec_seg_row"], j["dec_seg_cum"],
+                qp, qd, kv, j["sched"], j["pre_seg_row"][None],
+                j["pre_seg_cum"][None], j["qinfo2"], li,
+                j["dec_seg_row"], j["dec_seg_cum"],
                 j["dec_seqlens"], q_tile=q_tile, kv_tile=kv_tile,
                 num_segments=S)
             qp, qd = op, od

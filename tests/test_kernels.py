@@ -236,11 +236,15 @@ def test_pod_fused_matches_separate_kernels():
         r, c = seg_tables(dec_extents[b])
         dec_row[b], dec_cum[b] = np.asarray(r), np.asarray(c)
 
-    sched = build_pod_schedule(Tq, 128, 256, kv_len, q_start, dec_seqlens)
+    qinfo2 = np.array([[q_start, kv_len]], np.int32)
+    sched = build_pod_schedule([Tq], 128, 256, qinfo2, dec_seqlens)
     assert (sched[:, 0] == 1).sum() == 3  # 2 + 1 decode tiles
     qinfo = jnp.asarray([q_start, kv_len, 1], jnp.int32)
     op, od = pod_fused_attention(
-        qp, qd, cache, jnp.asarray(sched), pre_row, pre_cum, qinfo,
+        qp, qd, cache, jnp.asarray(sched),
+        jnp.asarray(np.asarray(pre_row)[None]),
+        jnp.asarray(np.asarray(pre_cum)[None]),
+        jnp.asarray(qinfo2), jnp.ones(1, jnp.int32),
         jnp.asarray(dec_row), jnp.asarray(dec_cum),
         jnp.asarray(dec_seqlens), q_tile=128, kv_tile=256, num_segments=S)
 
@@ -287,10 +291,14 @@ def test_pod_fused_long_weave():
         dec_seqlens[b] = 100 + 37 * b
     qd = jnp.asarray(rng.standard_normal((B, HQ, D)), dtype=jnp.float32)
 
-    sched = build_pod_schedule(Tq, 128, 256, kv_len, q_start, dec_seqlens)
+    qinfo2 = np.array([[q_start, kv_len]], np.int32)
+    sched = build_pod_schedule([Tq], 128, 256, qinfo2, dec_seqlens)
     qinfo = jnp.asarray([q_start, kv_len, 1], jnp.int32)
     op, od = pod_fused_attention(
-        qp, qd, cache, jnp.asarray(sched), pre_row, pre_cum, qinfo,
+        qp, qd, cache, jnp.asarray(sched),
+        jnp.asarray(np.asarray(pre_row)[None]),
+        jnp.asarray(np.asarray(pre_cum)[None]),
+        jnp.asarray(qinfo2), jnp.ones(1, jnp.int32),
         jnp.asarray(dec_row), jnp.asarray(dec_cum),
         jnp.asarray(dec_seqlens), q_tile=128, kv_tile=256, num_segments=S)
 
@@ -304,6 +312,78 @@ def test_pod_fused_long_weave():
                          kv_tile=256, max_kv_tiles=4)
     np.testing.assert_allclose(np.asarray(op), np.asarray(ref_p),
                                atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(od), np.asarray(ref_d),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_pod_fused_multi_prefill():
+    """Multi-run POD: 2 prefill runs (different depths/extents) + a
+    decode batch fuse into one launch; each run must match the serial
+    prefill kernel on its own geometry."""
+    from vattention_tpu.ops.pod_fused import (build_pod_schedule,
+                                              pod_fused_attention)
+    from vattention_tpu.ops.utils import tile_rows_from_segments
+
+    rng = np.random.default_rng(23)
+    cache = make_cache(rng)
+    K = 2
+    # run 0: 256-chunk at the end of a 768 ctx, extent at row 0;
+    # run 1: 130-chunk (pads to 256) first chunk of a 384 ctx
+    runs = [
+        dict(chunk=256, kv_len=768, q_start=512, extents=[(0, 1024)]),
+        dict(chunk=130, kv_len=384, q_start=254,
+             extents=[(1024, 256), (1280, 256)]),
+    ]
+    pre_row = np.zeros((K, S), np.int32)
+    pre_cum = np.zeros((K, S + 1), np.int32)
+    qinfo = np.zeros((K, 2), np.int32)
+    q_parts, offs = [], []
+    off = 0
+    for r, spec in enumerate(runs):
+        rr, cc = seg_tables(spec["extents"])
+        pre_row[r], pre_cum[r] = np.asarray(rr), np.asarray(cc)
+        qinfo[r] = (spec["q_start"], spec["kv_len"])
+        pad = -(-spec["chunk"] // 128) * 128
+        q_parts.append(rng.standard_normal((pad, HQ, D)))
+        offs.append(off)
+        off += pad
+    qp = jnp.asarray(np.concatenate(q_parts), jnp.float32)
+
+    B = 2
+    dec_row = np.zeros((B, S), np.int32)
+    dec_cum = np.zeros((B, S + 1), np.int32)
+    dec_seqlens = np.array([300, 128], np.int32)
+    for b in range(B):
+        rr, cc = seg_tables([(1536 + b * 256, 256)])
+        dec_row[b], dec_cum[b] = np.asarray(rr), np.asarray(cc)
+    qd = jnp.asarray(rng.standard_normal((B, HQ, D)), jnp.float32)
+
+    sched = build_pod_schedule([r["chunk"] for r in runs], 128, 256,
+                               qinfo, dec_seqlens)
+    op, od = pod_fused_attention(
+        qp, qd, cache, jnp.asarray(sched), jnp.asarray(pre_row),
+        jnp.asarray(pre_cum), jnp.asarray(qinfo),
+        jnp.ones(1, jnp.int32), jnp.asarray(dec_row),
+        jnp.asarray(dec_cum), jnp.asarray(dec_seqlens),
+        q_tile=128, kv_tile=256, num_segments=S)
+
+    for r, spec in enumerate(runs):
+        qinfo3 = jnp.asarray(
+            [spec["q_start"], spec["kv_len"], 1], jnp.int32)
+        pad = -(-spec["chunk"] // 128) * 128
+        ref_p = flash_prefill(
+            qp[offs[r]:offs[r] + pad], cache,
+            jnp.asarray(pre_row[r]), jnp.asarray(pre_cum[r]), qinfo3,
+            q_tile=128, kv_tile=256, num_segments=S, max_kv_tiles=4)
+        np.testing.assert_allclose(
+            np.asarray(op[offs[r]:offs[r] + spec["chunk"]]),
+            np.asarray(ref_p[:spec["chunk"]]),
+            atol=2e-3, rtol=2e-3, err_msg=f"run {r}")
+    ref_d = flash_decode(qd, cache,
+                         jnp.asarray(tile_rows_from_segments(
+                             dec_row, dec_cum, 256, 4)),
+                         jnp.asarray(dec_seqlens), jnp.ones(1, jnp.int32),
+                         kv_tile=256, max_kv_tiles=4)
     np.testing.assert_allclose(np.asarray(od), np.asarray(ref_d),
                                atol=2e-3, rtol=2e-3)
 

@@ -28,15 +28,15 @@ class PodAttentionBackend(VattnAttentionBackend):
                 and q.shape[0] > n_prefill_tokens:
             D = q.shape[-1]
             q = self._pad_heads(q, kv_cache.shape[-1])
-            # the fused kernel keeps the reference POD wrapper's
-            # single-prefill constraint (pod_wrapper.py:74-75): run 0
-            qinfo = jnp.concatenate(
-                [inputs.pre_qinfo[0], layer_idx.astype(jnp.int32)])
+            # every prefill run in the step fuses into one launch (the
+            # reference wrapper is single-prefill, pod_wrapper.py:74-75
+            # -- a CUDA grid constraint the TPU schedule doesn't share)
             op, od = pod_fused_attention(
                 q[:n_prefill_tokens], q[n_prefill_tokens:], kv_cache,
-                inputs.pod_sched, inputs.pre_seg_row[0],
-                inputs.pre_seg_cum[0],
-                qinfo, inputs.dec_seg_row, inputs.dec_seg_cum,
+                inputs.pod_sched, inputs.pre_seg_row,
+                inputs.pre_seg_cum, inputs.pre_qinfo,
+                layer_idx.astype(jnp.int32),
+                inputs.dec_seg_row, inputs.dec_seg_cum,
                 inputs.dec_seqlens, q_tile=self.q_tile,
                 kv_tile=self.kv_tile, num_segments=self.num_segments,
                 sm_scale=sm_scale)

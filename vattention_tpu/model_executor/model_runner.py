@@ -425,23 +425,21 @@ class ModelRunner:
                 pre_runs[nrun] = (r[a], off + a, b - a)
                 nrun += 1
         pod_sched = None
-        if self.is_pod and len(prefills) == 1 and any(dec_seqlens > 0):
+        if self.is_pod and prefills and any(dec_seqlens > 0):
             from vattention_tpu.ops.pod_fused import (POD_KV_LEN_LIMIT,
                                                       build_pod_schedule)
 
-            # deep prefill KV streams hit a Mosaic runtime fault in the
-            # fused kernel (docs/PERF.md); fall back to serial kernels
-            # (sched=None) past the validated depth -- mirrors the
-            # reference's own single-phase fallback
-            # (fused_attn_interface.py:39-77)
-            if int(pre_qinfo[0, 1]) <= POD_KV_LEN_LIMIT:
-                # weave only the REAL chunk's q tiles (run_offs[-1]);
-                # the fixed-width region's tail tiles would add full
-                # kv-depth walks of garbage work to the schedule
+            # fall back to serial kernels (sched=None) past the
+            # validated fused-kernel depth -- mirrors the reference's
+            # own single-phase fallback (fused_attn_interface.py:39-77)
+            if int(pre_qinfo[:len(prefills), 1].max()) \
+                    <= POD_KV_LEN_LIMIT:
+                # weave only the REAL chunks' q tiles; the fixed-width
+                # region's tail tiles would add full kv-depth walks of
+                # garbage work to the schedule
                 pod_sched = build_pod_schedule(
-                    int(run_offs[-1]), self.q_tile, self.backend.kv_tile,
-                    int(pre_qinfo[0, 1]), int(pre_qinfo[0, 0]),
-                    dec_seqlens)
+                    chunks, self.q_tile, self.backend.kv_tile,
+                    pre_qinfo[:len(prefills)], dec_seqlens)
         # one batched host->device transfer for the whole pytree: through
         # the remote-dispatch tunnel, per-array device_puts cost ~2ms each.
         # On a mesh the inputs are placed replicated explicitly -- in

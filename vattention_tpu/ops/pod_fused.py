@@ -14,20 +14,13 @@ HBM traffic) under prefill's MXU work -- the same overlap POD gets from
 SM sharing.  The interleave order is a host-built schedule array handed
 to the kernel via scalar prefetch (the tbAssign analog):
 
-  sched[t] = (phase, idx, kt, cur_b, cur_qt, flags, pre_kt, dec_kt)
+  sched[t] = (phase, lqt|b, kt, run, cur_gqt, first, pre_state,
+              parity, next-decode links...)   -- see build_pod_schedule
 
-    phase: 0 = prefill tile, 1 = decode tile
-    idx:   qt (prefill) or batch slot b (decode)
-    kt:    kv tile index within the phase's stream
-    cur_b / cur_qt: the most recent decode slot / prefill q-tile at or
-        before t (keeps the un-touched operand's BlockSpec index constant
-        so its DMA is elided and its output block stays resident)
-    flags: bit0 = first kv tile of this (phase, idx) stream
-    pre_kt / dec_kt: the most recent PREFILL kv-tile / DECODE kv-tile at
-        or before t -- each phase's K/V operands are SEPARATE BlockSpecs
-        driven only by its own stream state, so the inactive phase's
-        blocks keep a constant index (DMA elided) and each index map
-        reads only its own extent tables
+Multi-prefill: every prefill run in a mixed step fuses into the same
+launch (per-run (q_start, kv_len) read from a [K,2] qinfo table; the
+reference wrapper's single-prefill limit, pod_wrapper.py:74-75, is a
+CUDA grid-shape constraint TPU does not share).
 
 Per-slot decode softmax state lives in [B]-indexed VMEM scratch so the
 two streams can interleave at single-tile granularity; the prefill
@@ -53,36 +46,54 @@ from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, icdiv, idiv,
 
 
 # Maximum prefill KV depth validated for the fused kernel on hardware.
-# Round 2 capped this at 1024: Mosaic faulted on deeper streams.  Two
-# round-3 root-cause fixes moved the boundary to 8K (clean-room probe
-# matrix, /tmp protocol documented in docs/PERF.md): (1) in-index-map
-# segment-walk lookups -> precomputed row tables; (2) decode-stream
-# BlockSpecs -> manual double-buffered DMAs.  16K+ still trips a fault
-# in the BlockSpec pipeline machinery; the serving path falls back to
-# the serial kernels beyond this depth.
-POD_KV_LEN_LIMIT = 8192
+# Round 2 capped this at 1024 (Mosaic faulted); round 3's fixes
+# (precomputed row tables, manual decode DMAs) moved it to 8K; the
+# residual >=16K failure was NOT a Mosaic fault but an SMEM overflow:
+# the 2-D s32[n,16] schedule operand gets its trailing dim padded to
+# 128 lanes (8x), blowing the 1MB SMEM budget once n reached 2048.
+# The schedule is now stored flat; scripts/probe_pod_depth.py validates
+# 16K/32K/64K/128K (incl. chunk 2048 / kv_tile 512 serving shapes)
+# bit-matching the serial kernels on v5e.  The serving path still falls
+# back to serial kernels beyond this validated boundary.
+POD_KV_LEN_LIMIT = 131072
+
+
+# col-6 run/kt packing: the prefill KV index map unpacks r*PRE_PACK+kt
+# and reads the flattened per-run row table (kt < PRE_PACK always:
+# 200K max ctx / 256-token tiles = 800)
+PRE_PACK = 4096
 
 
 def build_pod_schedule(
-    n_prefill_tokens: int, q_tile: int, kv_tile: int,
-    kv_len: int, q_start: int,
+    chunks,                  # per-run REAL prefill token counts
+    q_tile: int, kv_tile: int,
+    qinfos,                  # [K, 2] per-run (q_start, kv_len)
     dec_seqlens: np.ndarray,
     *, ratio_hint: int | None = None,
 ) -> np.ndarray:
     """Host-side tile scheduler (ref fused_api.cpp:357-375 heuristics).
 
-    Emits prefill tiles in (qt, kt) order with decode tiles woven in at a
-    ratio that spreads the decode stream evenly across the prefill
-    stream (runtime analog of the SM ratio balancing; `ratio_hint`
-    overrides, mirroring fused_params 9 vs 11).
+    Emits each run's prefill tiles in (run, qt, kt) order with decode
+    tiles woven in at a ratio that spreads the decode stream evenly
+    across the prefill stream (runtime analog of the SM ratio
+    balancing; `ratio_hint` overrides, mirroring fused_params 9 vs 11).
+    Runs sit q_tile-aligned in the q region (the model runner pads each
+    chunk to the q tile), so run r's global q-tile index is its padded
+    offset; multi-prefill steps fuse every run plus the decode batch
+    into ONE launch (the reference wrapper is single-prefill only,
+    pod_wrapper.py:74-75 -- TPU has no reason to keep that limit).
     """
-    n_qt = cdiv(max(n_prefill_tokens, 1), q_tile)
     pre_tiles = []
-    for qt in range(n_qt):
-        q_last = q_start + (qt + 1) * q_tile - 1
-        n_kt = min(cdiv(kv_len, kv_tile), q_last // kv_tile + 1)
-        for kt in range(max(n_kt, 1)):
-            pre_tiles.append((qt, kt, kt == 0))
+    gqt0 = 0
+    for r, chunk in enumerate(chunks):
+        q_start, kv_len = int(qinfos[r][0]), int(qinfos[r][1])
+        n_qt = cdiv(max(int(chunk), 1), q_tile)
+        for lqt in range(n_qt):
+            q_last = q_start + (lqt + 1) * q_tile - 1
+            n_kt = min(cdiv(kv_len, kv_tile), q_last // kv_tile + 1)
+            for kt in range(max(n_kt, 1)):
+                pre_tiles.append((r, lqt, gqt0 + lqt, kt, kt == 0))
+        gqt0 += n_qt
     dec_tiles = []
     for b, sl in enumerate(dec_seqlens):
         for kt in range(cdiv(int(sl), kv_tile)):
@@ -91,19 +102,29 @@ def build_pod_schedule(
     np_, nd = len(pre_tiles), len(dec_tiles)
     n = np_ + nd
     # pad to a pow2 bucket with no-op entries (phase 2) so the schedule
-    # length -- a static kernel dimension -- does not recompile per step
+    # length -- a static kernel dimension -- does not recompile per
+    # step; past 2048 entries pad to multiples of 2048 instead (pow2
+    # doubling would waste up to half the grid in no-op steps exactly
+    # where steps are longest)
     padded = 1
-    while padded < max(n, 1):
+    while padded < max(n, 1) and padded < 2048:
         padded *= 2
-    # columns: 0 phase, 1 idx, 2 kt, 3 cur_b, 4 cur_qt, 5 first,
-    # 6 pre_kt (prefill-stream state for the prefill K/V BlockSpecs),
+    if n > padded:
+        padded = cdiv(n, 2048) * 2048
+    # columns: 0 phase, 1 lqt (prefill, for the causal mask) or b
+    # (decode), 2 kt, 3 run, 4 cur global qt (drives the q/out
+    # BlockSpecs; the most recent prefill tile's global q-tile, held
+    # constant through decode entries so their DMAs are elided),
+    # 5 first (kv tile 0 of this (run, qt) / slot stream),
+    # 6 prefill-stream KV state r*PRE_PACK+kt (held through decode
+    #   entries for the same elision),
     # 7 parity (decode ordinal & 1 -> double-buffer slot),
     # 8 nxt_b / 9 nxt_kt / 10 nxt_valid (the NEXT decode tile, whose
     #   manual DMA this entry launches into the other buffer),
     # 11-13 on entry 0 only: first decode tile (b, kt, any) whose DMA
     #   launches at t == 0
     sched = np.zeros((padded, 16), np.int32)
-    cur_b, cur_qt, cur_pre_kt = 0, 0, 0
+    cur_gqt, cur_pre = 0, 0
     pi = di = 0
     dec_entry_rows = []
     for t in range(n):
@@ -117,19 +138,19 @@ def build_pod_schedule(
         take_decode = (di < nd) and (pi >= np_ or behind)
         if take_decode:
             b, kt, first = dec_tiles[di]
-            cur_b = b
-            sched[t, :8] = (1, b, kt, cur_b, cur_qt, int(first),
-                            cur_pre_kt, di & 1)
+            sched[t, :8] = (1, b, kt, 0, cur_gqt, int(first),
+                            cur_pre, di & 1)
             dec_entry_rows.append(t)
             di += 1
         else:
-            qt, kt, first = pre_tiles[pi]
+            r, lqt, gqt, kt, first = pre_tiles[pi]
             pi += 1
-            cur_qt = qt
-            cur_pre_kt = kt
-            sched[t, :8] = (0, qt, kt, cur_b, cur_qt, int(first), kt, 0)
+            cur_gqt = gqt
+            cur_pre = r * PRE_PACK + kt
+            sched[t, :8] = (0, lqt, kt, r, cur_gqt, int(first),
+                            cur_pre, 0)
     for t in range(n, padded):
-        sched[t, :8] = (2, 0, 0, cur_b, cur_qt, 0, cur_pre_kt, 0)
+        sched[t, :8] = (2, 0, 0, 0, cur_gqt, 0, cur_pre, 0)
     # decode DMA pipelining links
     for i, t in enumerate(dec_entry_rows):
         if i + 1 < len(dec_entry_rows):
@@ -143,7 +164,8 @@ def build_pod_schedule(
 
 def _pod_kernel(
     # scalar prefetch
-    sched_ref, pre_rows_ref, dec_rows_ref, qinfo_ref, dec_seqlens_ref,
+    sched_ref, pre_rows_ref, dec_rows_ref, qinfo_ref, linfo_ref,
+    dec_seqlens_ref,
     # blocks
     qp_ref, qd_ref, kp_ref, vp_ref, kv_any_ref, op_ref, od_ref,
     # scratch
@@ -152,7 +174,14 @@ def _pod_kernel(
     *, q_tile: int, kv_tile: int, num_segments: int, sm_scale: float,
 ):
     t = pl.program_id(0)
-    layer = qinfo_ref[2]
+    layer = linfo_ref[0]
+
+    # the schedule lives in SMEM as a FLAT [padded*16] array: a 2-D
+    # s32[n,16] scalar operand gets its trailing dim padded to 128
+    # lanes (an 8x SMEM blowup that overflowed the 1MB budget at 64K
+    # depth, VERDICT r4 #2); flat arrays pad only the total length
+    def sc(tt, c):
+        return sched_ref[tt * 16 + c]
 
     def dec_copies(b, kt, slot):
         """K/V async-copy descriptors for decode tile (b, kt) into
@@ -181,22 +210,23 @@ def _pod_kernel(
                 vbuf.at[slot], vsem.at[slot]),
         )
 
-    @pl.when(jnp.logical_and(t == 0, sched_ref[0, 13] == 1))
+    @pl.when(jnp.logical_and(t == 0, sc(0, 13) == 1))
     def _prime_decode_stream():
-        kc, vc = dec_copies(sched_ref[0, 11], sched_ref[0, 12], 0)
+        kc, vc = dec_copies(sc(0, 11), sc(0, 12), 0)
         kc.start()
         vc.start()
-    phase = sched_ref[t, 0]
-    idx = sched_ref[t, 1]
-    kt = sched_ref[t, 2]
-    first = sched_ref[t, 5]
-
-    q_start = qinfo_ref[0]
-    kv_len = qinfo_ref[1]
+    phase = sc(t, 0)
+    idx = sc(t, 1)
+    kt = sc(t, 2)
+    first = sc(t, 5)
 
     @pl.when(phase == 0)
     def _prefill():
         Hkv, G, _, D = qp_ref.shape
+        # per-run prefill geometry (qinfo is a flat [K*2] SMEM array)
+        r = sc(t, 3)
+        q_start = qinfo_ref[r * 2]
+        kv_len = qinfo_ref[r * 2 + 1]
 
         @pl.when(first == 1)
         def _init():
@@ -253,7 +283,7 @@ def _pod_kernel(
         Hkv = kbuf.shape[1]
         G = Hq // Hkv
         b = idx
-        slot = sched_ref[t, 7]
+        slot = sc(t, 7)
 
         # this tile's K/V landed in buf[slot] (launched at t==0 or by
         # the previous decode entry); wait, then launch the next tile's
@@ -262,9 +292,9 @@ def _pod_kernel(
         kc.wait()
         vc.wait()
 
-        @pl.when(sched_ref[t, 10] == 1)
+        @pl.when(sc(t, 10) == 1)
         def _launch_next():
-            nk, nv = dec_copies(sched_ref[t, 8], sched_ref[t, 9],
+            nk, nv = dec_copies(sc(t, 8), sc(t, 9),
                                 1 - slot)
             nk.start()
             nv.start()
@@ -312,10 +342,11 @@ def pod_fused_attention(
     q_prefill: jax.Array,    # [Tq, Hq, D]
     q_decode: jax.Array,     # [B, Hq, D]
     kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
-    sched: jax.Array,        # [n_sched, 6] int32 (host-built schedule)
-    pre_seg_row: jax.Array,  # [S]
-    pre_seg_cum: jax.Array,  # [S+1]
-    qinfo: jax.Array,        # [3] (q_start, kv_len, layer)
+    sched: jax.Array,        # [n_sched, 16] int32 (host-built schedule)
+    pre_seg_row: jax.Array,  # [K, S] per-run extent rows
+    pre_seg_cum: jax.Array,  # [K, S+1]
+    qinfo: jax.Array,        # [K, 2] per-run (q_start, kv_len)
+    linfo: jax.Array,        # [1] (layer,)
     dec_seg_row: jax.Array,  # [B, S]
     dec_seg_cum: jax.Array,  # [B, S+1]
     dec_seqlens: jax.Array,  # [B]
@@ -333,11 +364,13 @@ def pod_fused_attention(
     G = Hq // Hkv
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
-    n_sched = n_sched or sched.shape[0]
+    n_sched = n_sched or sched.size // 16
+    sched_flat = sched.reshape(-1)
     qp_hm = q_prefill.reshape(Tq, Hkv, G, D).transpose(1, 2, 0, 3)
 
     def qp_index(t, sched_ref, *_):
-        return (0, 0, sched_ref[t, 4], 0)
+        # sched is flattened [padded*16] in SMEM (see _pod_kernel)
+        return (0, 0, sched_ref[t * 16 + 4], 0)
 
     # arena rows are resolved OUTSIDE the kernel into flat per-tile row
     # tables (the flash_decode host-row-table pattern): the index maps
@@ -348,23 +381,25 @@ def pod_fused_attention(
     # index maps were already the measured fixed-cost hot spot.
     n_pre_tiles = max(cdiv(R, kv_tile), 1)
     pre_rows = tile_rows_from_segments_jnp(
-        pre_seg_row[None], pre_seg_cum[None], kv_tile, n_pre_tiles)[0]
+        pre_seg_row, pre_seg_cum, kv_tile, n_pre_tiles).reshape(-1)
     dec_rows = tile_rows_from_segments_jnp(
         dec_seg_row, dec_seg_cum, kv_tile, n_pre_tiles)
 
     # prefill K/V blocks are driven ONLY by the prefill stream state
-    # (sched col 6): while decode runs, the index is unchanged and the
-    # Pallas pipeline elides the DMA.  The DECODE stream has no
-    # BlockSpec at all -- its K/V moves via manual double-buffered DMAs
-    # inside the kernel (see _pod_kernel.dec_copies).
+    # (sched col 6, r*PRE_PACK+kt): while decode runs, the index is
+    # unchanged and the Pallas pipeline elides the DMA.  The DECODE
+    # stream has no BlockSpec at all -- its K/V moves via manual
+    # double-buffered DMAs inside the kernel (_pod_kernel.dec_copies).
     def kv_pre_index(t, sched_ref, pre_rows_ref, dec_rows_ref,
-                     qinfo_ref, dsl, kv01):
-        layer = qinfo_ref[2]
-        row = pre_rows_ref[sched_ref[t, 6]]
+                     qinfo_ref, linfo_ref, dsl, kv01):
+        layer = linfo_ref[0]
+        v = sched_ref[t * 16 + 6]
+        row = pre_rows_ref[idiv(v, PRE_PACK) * n_pre_tiles
+                           + v % PRE_PACK]
         return (layer, kv01, 0, idiv(row, kv_tile), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(n_sched,),
         in_specs=[
             pl.BlockSpec((Hkv, G, q_tile, D), qp_index),
@@ -380,7 +415,8 @@ def pod_fused_attention(
         ],
         out_specs=(
             pl.BlockSpec((Hkv, G, q_tile, D),
-                         lambda t, sched_ref, *_: (0, 0, sched_ref[t, 4], 0)),
+                         lambda t, sched_ref, *_:
+                             (0, 0, sched_ref[t * 16 + 4], 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -408,6 +444,6 @@ def pod_fused_attention(
         ),
         compiler_params=tpu_params(),
         interpret=interpret_mode(),
-    )(sched, pre_rows, dec_rows, qinfo, dec_seqlens, qp_hm, q_decode,
-      kv_cache, kv_cache, kv_cache)
+    )(sched_flat, pre_rows, dec_rows, qinfo.reshape(-1), linfo,
+      dec_seqlens, qp_hm, q_decode, kv_cache, kv_cache, kv_cache)
     return op.transpose(2, 0, 1, 3).reshape(Tq, Hq, D), od
