@@ -148,7 +148,48 @@ def measure_serving(args, backend):
 
     gc.collect()
     t = summary["totals"]
+    t = dict(t, phase_stats=summary.get("phase_stats", {}))
     return t["processed_tokens"] / t["makespan_s"], t
+
+
+def phase_rooflines(arch, t, kv_dtype_bytes=2):
+    """Per-phase speed-of-light fractions from the run's phase stats
+    (VERDICT r4 #3: one blended MXU number hides whether the gap is
+    prefill inefficiency or unavoidable decode HBM traffic).
+
+    prefill_mfu: MXU-bound fraction for steps containing prefill work
+    (model matmul flops + causal attention flops over actual depths).
+    decode_hbm: HBM-bound fraction for pure-decode steps (weights read
+    once per step + KV read per token at its actual depth)."""
+    ps = t.get("phase_stats") or {}
+    if not ps.get("prefill_steps") and not ps.get("decode_steps"):
+        return None, None
+    MXU_PEAK = 197e12
+    dtype_bytes = 2
+    p_body = arch.num_layers * (
+        arch.hidden_size * (arch.num_q_heads + 2 * arch.num_kv_heads)
+        * arch.head_dim
+        + arch.num_q_heads * arch.head_dim * arch.hidden_size
+        + 3 * arch.hidden_size * arch.intermediate_size)
+    param_bytes = (p_body + 2 * arch.vocab_size * arch.hidden_size) \
+        * dtype_bytes
+    prefill_mfu = None
+    if ps.get("prefill_time_s", 0) > 0:
+        # lm head excluded: it runs only over the B sampled positions
+        # per step (models/llama.head), not every prefill token
+        flops = (2 * ps["prefill_tokens"] * p_body
+                 + 4 * ps["prefill_attn_weight"]
+                 * arch.num_q_heads * arch.head_dim)
+        prefill_mfu = (flops / MXU_PEAK) / ps["prefill_time_s"]
+    decode_hbm = None
+    if ps.get("decode_time_s", 0) > 0:
+        kv_token_bytes = (2 * arch.num_kv_heads * arch.head_dim
+                          * arch.num_layers * kv_dtype_bytes)
+        traffic = (ps["decode_steps"] * param_bytes
+                   + ps["decode_kv_tokens_decode_steps"]
+                   * kv_token_bytes)
+        decode_hbm = (traffic / HBM_BW) / ps["decode_time_s"]
+    return prefill_mfu, decode_hbm
 
 
 def main():
@@ -210,6 +251,12 @@ def main():
         MXU_PEAK = 197e12  # v5e bf16
         lb_tps = (t["processed_tokens"] / (total_flops / MXU_PEAK)
                   if total_flops else 1.0)
+        pre_mfu, dec_hbm = phase_rooflines(arch, t)
+        phase_keys = {}
+        if pre_mfu is not None:
+            phase_keys["prefill_mfu"] = round(pre_mfu, 3)
+        if dec_hbm is not None:
+            phase_keys["decode_hbm_frac"] = round(dec_hbm, 3)
         if args.skip_paged:
             print(json.dumps({
                 "metric": "serving_tokens_per_s_per_chip",
@@ -220,11 +267,18 @@ def main():
                         f"{backend})",
                 "vs_baseline": round(v1 / lb_tps, 3),
                 "roofline": round(v1 / lb_tps, 3),
+                **phase_keys,
             }))
             return
         p1, _ = measure_serving(args, args.paged_backend)
         p2, _ = measure_serving(args, args.paged_backend)
-        v2, _ = measure_serving(args, backend)
+        v2, t2 = measure_serving(args, backend)
+        pre2, dec2 = phase_rooflines(arch, t2)
+        if pre_mfu is not None and pre2 is not None:
+            phase_keys["prefill_mfu"] = round((pre_mfu + pre2) / 2, 3)
+        if dec_hbm is not None and dec2 is not None:
+            phase_keys["decode_hbm_frac"] = round(
+                (dec_hbm + dec2) / 2, 3)
         value = (v1 + v2) / 2
         print(json.dumps({
             "metric": "serving_tokens_per_s_per_chip",
@@ -236,6 +290,7 @@ def main():
                     f"{(p1 + p2) / 2:.1f})",
             "vs_baseline": round((v1 + v2) / max(p1 + p2, 1e-9), 3),
             "roofline": round(value / lb_tps, 3),
+            **phase_keys,
         }))
         return
 

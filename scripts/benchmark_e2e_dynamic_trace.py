@@ -90,8 +90,10 @@ def main():
         if args.test:
             break
     os.makedirs(os.path.dirname(args.output), exist_ok=True)
+    # self-describing artifact (ADVICE r4: the exact invocation behind a
+    # published sweep must be recoverable from the artifact itself)
     with open(args.output, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump({"meta": vars(args), "results": results}, f, indent=2)
     print(f"wrote {args.output}")
 
 

@@ -59,6 +59,10 @@ def main():
     path = args[0] if args else "benchmark_output/e2e_dynamic.json"
     with open(path) as f:
         rows = json.load(f)
+    if isinstance(rows, dict):  # self-describing artifact (meta+results)
+        if rows.get("meta"):
+            print("# invocation:", json.dumps(rows["meta"]))
+        rows = rows["results"]
 
     print("backend\tqps\tnorm_e2e_p50\tnorm_e2e_p90\tnorm_e2e_p99\t"
           "sched_delay_p99\ttok/s")

@@ -88,9 +88,13 @@ def main():
     grid = defaultdict(dict)   # (model, ctx, pd) -> {backend: makespan}
     for r in rows:
         key = (r.get("model", "-"), r["ctx"], r["pd_ratio"])
-        grid[key][r["backend"]] = r["makespan_s"]
+        # wide-tile control cells keep their own column (the speedup
+        # column then measures against the STRONGEST paged config)
+        label = r["backend"] + (f"_w{r['wide_tile']}"
+                                if r.get("wide_tile") else "")
+        grid[key][label] = r["makespan_s"]
 
-    backends = sorted({r["backend"] for r in rows})
+    backends = sorted({b for per in grid.values() for b in per})
     header = ["model", "ctx", "P:D"] + backends + ["best_vattn_speedup"]
     print("\t".join(header))
     for (model, ctx, pd), per_backend in sorted(grid.items()):

@@ -21,7 +21,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="yi-6b-200k-l16")
-    p.add_argument("--backend", default="fa_vattn_2mb")
+    p.add_argument("--backends", nargs="+",
+                   default=["fa_vattn_2mb", "fa_paged_256"])
     p.add_argument("--num-requests", type=int, default=24)
     p.add_argument("--slo-s", type=float, default=5.0)
     p.add_argument("--quantile", type=float, default=0.9)
@@ -35,39 +36,42 @@ def main():
     from vattention_tpu.benchmark.capacity_search.capacity_search import (
         CapacitySearch, SLOConfig)
 
-    engine_kwargs = dict(
-        model=args.model, load_format="zero",
-        attention_backend=args.backend, scheduler_type="sarathi",
-        chunk_size=1024, max_model_len=args.max_model_len,
-        max_batch_size=16, max_num_seqs=16,
-        gpu_memory_utilization=0.9, write_metrics=True,
-        output_dir="/tmp/capsearch")
     generator_config = dict(
         interval_generator="poisson", length_generator="fixed",
         prefill_tokens=args.prefill_tokens,
         decode_tokens=args.decode_tokens)
-    t0 = time.time()
-    search = CapacitySearch(
-        engine_kwargs, generator_config,
-        SLOConfig(scheduling_delay_slo_s=args.slo_s,
-                  scheduling_delay_quantile=args.quantile),
-        num_requests=args.num_requests, time_limit_s=300.0)
-    capacity = search.search(qps_low=0.25, qps_high=4.0, tolerance=0.25,
-                             max_iters=4)
-    result = {
-        "model": args.model, "backend": args.backend,
-        "capacity_qps": capacity,
-        "slo": {"scheduling_delay_s": args.slo_s,
-                "quantile": args.quantile},
-        "workload": {"prefill": args.prefill_tokens,
-                     "decode": args.decode_tokens,
-                     "num_requests": args.num_requests},
-        "search_wall_s": round(time.time() - t0, 1),
-    }
+    results = []
+    for backend in args.backends:
+        engine_kwargs = dict(
+            model=args.model, load_format="zero",
+            attention_backend=backend, scheduler_type="sarathi",
+            chunk_size=1024, max_model_len=args.max_model_len,
+            max_batch_size=16, max_num_seqs=16,
+            gpu_memory_utilization=0.9, write_metrics=True,
+            output_dir="/tmp/capsearch")
+        t0 = time.time()
+        search = CapacitySearch(
+            engine_kwargs, generator_config,
+            SLOConfig(scheduling_delay_slo_s=args.slo_s,
+                      scheduling_delay_quantile=args.quantile),
+            num_requests=args.num_requests, time_limit_s=300.0)
+        capacity = search.search(qps_low=0.25, qps_high=4.0,
+                                 tolerance=0.25, max_iters=4)
+        results.append({
+            "model": args.model, "backend": backend,
+            "capacity_qps": capacity,
+            "slo": {"scheduling_delay_s": args.slo_s,
+                    "quantile": args.quantile},
+            "workload": {"prefill": args.prefill_tokens,
+                         "decode": args.decode_tokens,
+                         "num_requests": args.num_requests},
+            "search_wall_s": round(time.time() - t0, 1),
+        })
+        print(json.dumps(results[-1]))
     os.makedirs(os.path.dirname(args.output), exist_ok=True)
     with open(args.output, "w") as f:
-        json.dump(result, f, indent=2)
-    print(json.dumps(result))
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.output}")
 
 
 if __name__ == "__main__":

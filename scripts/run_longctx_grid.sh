@@ -92,8 +92,8 @@ run_cfg () {
 TIER=${TIER:-full}
 case "$TIER" in
   headline) TIER="pairs,extras32" ;;
-  full)     TIER="pairs,controls,extras32,pd64k,models,fullextras" ;;
-  extras)   TIER="controls,extras32,pd64k,models,fullextras" ;;
+  full)     TIER="pairs,controls,pod,extras32,pd64k,models,fullextras" ;;
+  extras)   TIER="controls,pod,extras32,pd64k,models,fullextras" ;;
 esac
 has_group () { case ",$TIER," in *",$1,"*) return 0 ;; *) return 1 ;; esac; }
 for g in ${TIER//,/ }; do
@@ -156,9 +156,17 @@ if has_group fullextras; then
     run_cfg 65536 $backend 100 4 6 fp8
   done
 fi
-# 7. POD fused-kernel cells
+# 7. POD fused-kernel cells.  The fused kernel compiles once per
+# schedule-length bucket; a first (discarded) run warms every bucket
+# through the persistent compilation cache so the measured run's
+# makespan is compile-free like the self-warming serial cells.
 if has_group pod; then
-  run_cfg 32768 fa_pod 100 8 8
-  run_cfg 65536 fa_pod 100 4 6
+  for cell in "32768 8 8" "65536 4 6"; do
+    set -- $cell
+    run_cfg $1 fa_pod 100 $2 $3
+    mv "$OUT/fa_pod_c${1}_pd100" "$OUT/warm_pod_c${1}" 2>/dev/null
+    run_cfg $1 fa_pod 100 $2 $3
+    rm -rf "$OUT/warm_pod_c${1}"
+  done
 fi
 echo "grid done"

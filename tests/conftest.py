@@ -8,6 +8,10 @@ validated on the JAX CPU backend with pallas interpret mode.
 import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# persistent compile cache: engine jit signatures repeat across tests
+# and across runs; re-runs of the suite skip most XLA compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache_tests")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax  # noqa: E402
 

@@ -19,6 +19,25 @@ from vattention_tpu.model_executor.layers.rotary_embedding import get_rope
 from vattention_tpu.ops.attention_ref import mha_reference
 
 
+# dense rollouts keyed by (model name, prompt, max_tokens): every
+# engine in this file loads the same dummy-seed weights, so the dense
+# expectation is identical across backend/scheduler cases -- computing
+# it once cuts ~7 full-recompute rollouts from the suite (round-4
+# VERDICT #6: one-shot `pytest tests/ -q` must fit 5 minutes).  A stale
+# cache entry cannot hide a bug: if an engine's params differed, its
+# output would mismatch the cached rollout and the assert would fire.
+_dense_cache = {}
+
+
+def dense_reference_cached(model_name, model, params, prompt_ids,
+                           max_tokens):
+    key = (model_name, tuple(prompt_ids), max_tokens)
+    if key not in _dense_cache:
+        _dense_cache[key] = dense_reference_generate(
+            model, params, prompt_ids, max_tokens)
+    return _dense_cache[key]
+
+
 def dense_reference_generate(model, params, prompt_ids, max_tokens):
     """Plain full-recompute greedy decoding with jnp dense attention."""
     a = model.arch
@@ -99,10 +118,11 @@ def test_engine_matches_dense_reference(backend, scheduler, chunk, model):
     # exactness requires no preemption-restarts (those legitimately fold
     # generated tokens back into the prompt, ref sequence.py:158)
     assert engine.metrics_store.num_preempted == 0
-    model = engine.worker.model_runner.model
+    model_obj = engine.worker.model_runner.model
     params = engine.worker.model_runner.params
     for seq_id, toks in prompts.items():
-        expect = dense_reference_generate(model, params, toks, max_tokens)
+        expect = dense_reference_cached(model, model_obj, params, toks,
+                                        max_tokens)
         assert generated[seq_id] == expect, (
             f"{seq_id}: engine={generated[seq_id]} dense={expect}")
     engine.cleanup()
@@ -148,6 +168,11 @@ def test_fp8_kv_cache_engine_path():
     fp8 = run("fp8")
     agree = sum(a == b for a, b in zip(base, fp8)) / len(base)
     assert agree >= 0.5, (base, fp8)
+    # int8 (scaled) wiring: same smoke gate; the quality gate is the
+    # trained-model ppl delta in test_fp8_quality.py
+    int8 = run("int8")
+    agree = sum(a == b for a, b in zip(base, int8)) / len(base)
+    assert agree >= 0.5, (base, int8)
 
 
 def test_max_model_len_caps_generation():
@@ -269,7 +294,8 @@ def test_vllm_scheduler_batches_multiple_prompts_per_step():
     model = engine.worker.model_runner.model
     params = engine.worker.model_runner.params
     for seq_id, toks in prompts.items():
-        expect = dense_reference_generate(model, params, toks, 4)
+        expect = dense_reference_cached("tiny-llama-debug", model,
+                                        params, toks, 4)
         assert generated[seq_id] == expect, (
             f"{seq_id}: engine={generated[seq_id]} dense={expect}")
     engine.cleanup()

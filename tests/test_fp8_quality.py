@@ -26,7 +26,7 @@ from vattention_tpu.model_executor.weight_utils import load_weights
 
 ARCH = get_model_arch("tiny-llama-debug")
 VOCAB_USED = 64          # symbols actually emitted by the corpus
-SEQ_LEN = 192
+SEQ_LEN = 128
 
 
 # --------------------------------------------------------------------- #
@@ -90,13 +90,13 @@ def dense_logits(model, params, ids):
     return jax.vmap(one)(ids)
 
 
-def train_tiny_model(rng, steps=400):
+def train_tiny_model(rng, steps=200):
     import optax
 
     model_cls = get_model_class(ARCH.model_type)
     model = model_cls(ARCH, dtype=jnp.float32)
     params = model.init_params(rng)
-    data = make_corpus(rng, 64, SEQ_LEN)
+    data = make_corpus(rng, 48, SEQ_LEN)
 
     def loss_fn(params, ids):
         logits = dense_logits(model, params, ids)
@@ -166,7 +166,7 @@ def save_hf_checkpoint(tmp_path, params):
 # --------------------------------------------------------------------- #
 # teacher-forced perplexity through the serving stack
 # --------------------------------------------------------------------- #
-def serving_ppl(model, params, tokens, kv_dtype):
+def serving_ppl(model, params, tokens, kv_dtype, kv_scale=None):
     """One chunked-prefill pass with the real arena append + Pallas
     prefill kernels; returns ppl over positions 1..T-1."""
     from vattention_tpu.model_executor.attention.vattn_backend import (
@@ -182,7 +182,8 @@ def serving_ppl(model, params, tokens, kv_dtype):
     R = round_up(n_pre, BT) + BT
     backend = VattnAttentionBackend(
         block_tokens=BT, num_segments=S, max_context_len=n_pre,
-        arena_rows=R, q_tile=128, scratch_row=R - 1)
+        arena_rows=R, q_tile=128, scratch_row=R - 1,
+        kv_scale=kv_scale)
     kv_cache = jnp.zeros((a.num_layers, 2, a.num_kv_heads, R, a.head_dim),
                          kv_dtype)
     token_ids = np.zeros(n_pre, np.int32)
@@ -253,3 +254,9 @@ def test_fp8_kv_cache_ppl_delta(tmp_path):
     assert ppl_bf16 < 20.0, (ppl_bf16, train_loss)
     # BASELINE north star: <=0.1 perplexity delta with FP8 KV
     assert abs(ppl_fp8 - ppl_bf16) <= 0.1, (ppl_bf16, ppl_fp8)
+
+    # INT8 KV (scaled): the fast quantized path (docs/PERF.md fp8
+    # convert cliff -- int8 widening is a native VPU op).  Same gate.
+    ppl_int8 = serving_ppl(model_f32, loaded, eval_ids, jnp.int8,
+                           kv_scale=0.04)
+    assert abs(ppl_int8 - ppl_bf16) <= 0.1, (ppl_bf16, ppl_int8)

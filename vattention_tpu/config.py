@@ -217,6 +217,10 @@ class ModelConfig:
     # override rope scaling to stretch context (ref: config.py:502-552)
     rope_scaling: Optional[Dict[str, Any]] = None
     attention_backend: str = "fa_vattn"
+    # top-N alternative logprobs computed per sampled token (OpenAI
+    # `logprobs`/`top_logprobs`); the sampled token's own logprob is
+    # always returned.  0 keeps the [B,V] top_k out of the serving step.
+    max_logprobs: int = 0
     arch: ModelArch = field(default=None)  # type: ignore[assignment]
 
     def __post_init__(self):

@@ -18,6 +18,7 @@ class RequestOutput:
         token_ids: List[int],
         finished: bool,
         finish_reason: Optional[str] = None,
+        logprobs: Optional[list] = None,
     ) -> None:
         self.seq_id = seq_id
         self.prompt = prompt
@@ -26,6 +27,13 @@ class RequestOutput:
         self.token_ids = token_ids
         self.finished = finished
         self.finish_reason = finish_reason
+        # per output token: (logprob, top_logprobs) or None where the
+        # sampler output carried no logprobs
+        self.logprobs = logprobs
+
+    @property
+    def cumulative_logprob(self) -> float:
+        return sum(lp[0] for lp in (self.logprobs or []) if lp)
 
     @classmethod
     def from_seq(cls, seq: Sequence) -> "RequestOutput":
@@ -43,6 +51,10 @@ class RequestOutput:
             seq.is_finished() and seq.num_pending_tokens == 0,
             (SequenceStatus.get_finished_reason(seq.get_status())
              if seq.num_pending_tokens == 0 else None),
+            logprobs=(
+                [seq.output_logprobs.get(i) for i in range(
+                    len(seq.get_resolved_output_token_ids()))]
+                if seq.output_logprobs else None),
         )
 
     def __repr__(self) -> str:

@@ -36,6 +36,10 @@ class Sequence:
         self.prompt_token_ids = list(prompt_token_ids)
 
         self.output_token_ids: List[int] = []
+        # output index -> (logprob, top_logprobs) for tokens whose
+        # sampler output carried logprobs; sparse dict so truncation /
+        # re-resolution after preemption just overwrites by index
+        self.output_logprobs: dict = {}
         self.prompt_tokens_processed = 0
         self.prompt_processing_finished = False
         # async-execution state: sampled-on-device tokens not yet
@@ -89,6 +93,10 @@ class Sequence:
         assert self.prompt_processing_finished
         self.output_token_ids.append(token_id)
         self.state.on_token_generated()
+
+    def set_logprob(self, output_idx: int, logprob: float,
+                    top_logprobs=None) -> None:
+        self.output_logprobs[output_idx] = (logprob, top_logprobs)
 
     # -- async execution (one-step-lagged host materialization) ---------- #
     PENDING_TOKEN_ID = -1
@@ -256,11 +264,19 @@ class SequenceMetadata:
 
 
 class SamplerOutput:
-    """Output token for one sequence (ref sequence.py:301+)."""
+    """Output token for one sequence (ref sequence.py:301+).
 
-    def __init__(self, seq_id: str, output_token: int):
+    ``logprob``: log-probability of the sampled token under the raw
+    (pre-temperature) distribution; ``top_logprobs``: optional
+    [(token_id, logprob)] of the step's top-N alternatives (engine
+    ``max_logprobs``)."""
+
+    def __init__(self, seq_id: str, output_token: int,
+                 logprob: float = 0.0, top_logprobs=None):
         self.seq_id = seq_id
         self.output_token = output_token
+        self.logprob = logprob
+        self.top_logprobs = top_logprobs
 
     def __repr__(self) -> str:
         return f"SamplerOutput(seq_id={self.seq_id}, token={self.output_token})"

@@ -75,6 +75,8 @@ class BaseSequenceManager:
         if not seq.prompt_processing_finished:
             return
         seq.append_token_id(sample.output_token)
+        seq.set_logprob(len(seq.output_token_ids) - 1, sample.logprob,
+                        sample.top_logprobs)
         self._on_append_token(seq)
         seq.check_stop()
 
@@ -125,6 +127,7 @@ class BaseSequenceManager:
             if seq is None or seq.num_pending_tokens == 0:
                 continue  # freed or invalidated since dispatch
             idx = seq.resolve_pending_token(sample.output_token)
+            seq.set_logprob(idx, sample.logprob, sample.top_logprobs)
             self._on_token_resolved(seq, idx)
 
     def generate_request_outputs(

@@ -21,6 +21,7 @@ class EngineArgs:
     load_format: str = "dummy"
     max_model_len: Optional[int] = None
     attention_backend: str = "fa_vattn"
+    max_logprobs: int = 0
     # cache
     block_size: int = 256
     page_size: Optional[int] = None  # bytes; parsed from backend suffix too
@@ -56,7 +57,8 @@ class EngineArgs:
         model_config = ModelConfig(
             model=self.model, dtype=self.dtype, seed=self.seed,
             load_format=self.load_format, max_model_len=self.max_model_len,
-            attention_backend=self.attention_backend)
+            attention_backend=self.attention_backend,
+            max_logprobs=self.max_logprobs)
         page_size = self.page_size or decode_page_size(
             self.attention_backend, 2 * MB)
         if page_size < 16 * KB:
@@ -74,13 +76,11 @@ class EngineArgs:
             pipeline_parallel_size=self.pipeline_parallel_size,
             tensor_parallel_size=self.tensor_parallel_size)
         max_model_len = model_config.max_model_len
-        from vattention_tpu.model_executor.attention import (
-            AttentionBackend)
-
-        # POD's fused kernel keeps the reference wrapper's
-        # single-prefill-per-step constraint (pod_wrapper.py:74-75)
-        max_prefills = (1 if AttentionBackend.is_pod(self.attention_backend)
-                        else self.max_prefills_per_step)
+        # the fused POD schedule handles multiple prefill runs per step
+        # (ops/pod_fused.build_pod_schedule); the reference wrapper's
+        # single-prefill constraint (pod_wrapper.py:74-75) is a CUDA
+        # grid-shape limit that does not apply here
+        max_prefills = self.max_prefills_per_step
         common = dict(max_num_seqs=self.max_num_seqs,
                       max_model_len=max_model_len,
                       max_prefills_per_step=max_prefills,

@@ -145,6 +145,7 @@ class BaseLLMEngine:
             ignored_seqs, seq_metadata_list = self.seq_manager.on_schedule(
                 scheduler_outputs)
             self.metrics_store.on_batch_start()
+            self.metrics_store.on_step_dispatch(seq_metadata_list)
             sampler_outputs = self.worker.execute_model(
                 scheduler_outputs, seq_metadata_list)
             return self._on_step_completed(
@@ -161,6 +162,7 @@ class BaseLLMEngine:
         ignored_seqs, seq_metadata_list = self.seq_manager.on_schedule(
             scheduler_outputs)
         self.metrics_store.on_batch_start()
+        self.metrics_store.on_step_dispatch(seq_metadata_list)
         resolved = self.worker.execute_model_async(
             scheduler_outputs, seq_metadata_list,
             max_inflight=self.max_inflight_steps)

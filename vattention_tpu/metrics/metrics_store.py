@@ -127,6 +127,30 @@ class MetricsStore:
         self.num_completed_requests = 0
         self.num_processed_tokens = 0
         self.num_decode_tokens = 0
+        # phase-attributed wall time + workload integrals (the
+        # per-phase roofline inputs, VERDICT r4 #3).  A step with any
+        # prefill chunk counts as the "prefill" phase (MXU-bound side);
+        # pure-decode steps are the "decode" phase (HBM-bound).  Under
+        # async execution each inter-dispatch interval is attributed to
+        # the previously dispatched step's phase -- in steady state the
+        # host paces the device, and phases come in long runs, so the
+        # <=max_inflight-step smear only touches phase boundaries.
+        self.phase_stats = {
+            "prefill_time_s": 0.0, "decode_time_s": 0.0,
+            "prefill_steps": 0, "decode_steps": 0,
+            "prefill_tokens": 0,
+            # sum over prefill tokens of their kv depth (attention
+            # flops integral: 4 * this * Hq * head_dim)
+            "prefill_attn_weight": 0,
+            "decode_tokens_prefill_steps": 0,
+            "decode_tokens_decode_steps": 0,
+            # sum of kv depths read by decode tokens, split by the
+            # phase of the step they ran in
+            "decode_kv_tokens_prefill_steps": 0,
+            "decode_kv_tokens_decode_steps": 0,
+        }
+        self._pending_phase: Optional[str] = None
+        self._last_dispatch_ts: Optional[float] = None
         self._last_batch_start: Optional[float] = None
         self._chrome_events: List[dict] = []
         self._run_start = time.monotonic()
@@ -170,6 +194,30 @@ class MetricsStore:
 
     def on_batch_start(self) -> None:
         self._last_batch_start = time.monotonic()
+
+    def on_step_dispatch(self, seq_metadata_list) -> None:
+        """Phase accounting at dispatch time (see phase_stats above)."""
+        now = time.monotonic()
+        ps = self.phase_stats
+        if self._pending_phase is not None \
+                and self._last_dispatch_ts is not None:
+            ps[f"{self._pending_phase}_time_s"] += \
+                now - self._last_dispatch_ts
+        self._last_dispatch_ts = now
+        has_prefill = any(m.is_prompt for m in seq_metadata_list)
+        phase = "prefill" if has_prefill else "decode"
+        ps[f"{phase}_steps"] += 1
+        for m in seq_metadata_list:
+            if m.is_prompt:
+                chunk = m.prompt_chunk_len
+                kv_end = (m.seq.get_num_prompt_tokens_processed()
+                          + chunk)
+                ps["prefill_tokens"] += chunk
+                ps["prefill_attn_weight"] += chunk * kv_end
+            else:
+                ps[f"decode_tokens_{phase}_steps"] += 1
+                ps[f"decode_kv_tokens_{phase}_steps"] += m.seq.get_len()
+        self._pending_phase = phase
 
     def on_batch_end(self, seq_metadata_list, scheduler_outputs) -> None:
         # core counters are kept even when metric output is disabled
@@ -230,6 +278,8 @@ class MetricsStore:
         self.num_completed_requests += other.num_completed_requests
         self.num_processed_tokens += other.num_processed_tokens
         self.num_decode_tokens += other.num_decode_tokens
+        for k, v in other.phase_stats.items():
+            self.phase_stats[k] += v
         # aggregate wall clock spans every merged replica's run
         self._run_start = min(self._run_start, other._run_start)
 
@@ -263,6 +313,7 @@ class MetricsStore:
                              if wall > 0 else 0.0),
             "makespan_s": self.request_e2e_time.max,
         }
+        out["phase_stats"] = dict(self.phase_stats)
         return out
 
     def plot(self) -> None:

@@ -13,12 +13,16 @@ from vattention_tpu.ops.cache_append import (WINDOW,
                                              cache_append_tokens)
 from vattention_tpu.ops.paged_attention import (paged_flash_decode,
                                                 paged_flash_prefill_multi)
-from vattention_tpu.ops.utils import cdiv
+from vattention_tpu.ops.utils import (cdiv, icdiv,
+                                      kv_tile_bucket_switch)
 
 
 class PagedAttentionBackend:
     def __init__(self, *, block_size: int, max_context_len: int,
-                 scratch_row: int, q_tile: int = 128):
+                 scratch_row: int, q_tile: int = 128,
+                 kv_scale=None):
+        # int8 KV scale -- see VattnAttentionBackend.__init__
+        self.kv_scale = kv_scale
         self.scratch_row = scratch_row
         self.q_tile = q_tile
         self.block_size = block_size
@@ -54,6 +58,9 @@ class PagedAttentionBackend:
 
         k = VattnAttentionBackend._pad_heads(k, kv_cache.shape[-1])
         v = VattnAttentionBackend._pad_heads(v, kv_cache.shape[-1])
+        if self.kv_scale is not None:
+            k = VattnAttentionBackend._quantize_int8(self, k)
+            v = VattnAttentionBackend._quantize_int8(self, v)
         rows = inputs.append_rows
         if n_prefill_tokens > 0:
             pad = jnp.zeros((WINDOW,) + k.shape[1:], k.dtype)
@@ -78,6 +85,8 @@ class PagedAttentionBackend:
 
         D = q.shape[-1]
         q = VattnAttentionBackend._pad_heads(q, kv_cache.shape[-1])
+        if self.kv_scale is not None:
+            sm_scale = sm_scale * self.kv_scale
         pre_hint, dec_hint = kv_len_hint or (None, None)
         outs = []
         if n_prefill_tokens > 0:
@@ -85,21 +94,40 @@ class PagedAttentionBackend:
             if pre_hint:
                 tiles = min(tiles, cdiv(
                     pre_hint, self.block_size * self.pre_kv_fetch))
-            outs.append(paged_flash_prefill_multi(
-                q[:n_prefill_tokens], kv_cache, inputs.pre_seg_row,
-                inputs.pre_qinfo, inputs.qt_run,
-                layer_idx.astype(jnp.int32),
-                q_tile=self.q_tile, block_size=self.block_size,
-                sm_scale=sm_scale, max_kv_tiles=tiles,
-                kv_fetch=self.pre_kv_fetch))
+
+            def run_prefill(b):
+                return paged_flash_prefill_multi(
+                    q[:n_prefill_tokens], kv_cache, inputs.pre_seg_row,
+                    inputs.pre_qinfo, inputs.qt_run,
+                    layer_idx.astype(jnp.int32),
+                    q_tile=self.q_tile, block_size=self.block_size,
+                    sm_scale=sm_scale, max_kv_tiles=b,
+                    kv_fetch=self.pre_kv_fetch)
+
+            # in-program live-depth bucket (same tail-killing treatment
+            # as the vattn backend -- the A/B must stay like-for-like)
+            pre_need = icdiv(jnp.max(inputs.pre_qinfo[:, 1]),
+                             self.block_size * self.pre_kv_fetch)
+            outs.append(kv_tile_bucket_switch(pre_need, tiles,
+                                              run_prefill))
         if q.shape[0] > n_prefill_tokens:
             tiles = self.max_kv_tiles
             if dec_hint:
                 tiles = min(tiles, cdiv(dec_hint, self.block_size))
-            outs.append(paged_flash_decode(
-                q[n_prefill_tokens:], kv_cache, inputs.dec_seg_row,
-                inputs.dec_seqlens, layer_idx.astype(jnp.int32),
-                block_size=self.block_size, sm_scale=sm_scale,
-                max_kv_tiles=tiles))
+
+            def run_decode(b):
+                return paged_flash_decode(
+                    q[n_prefill_tokens:], kv_cache, inputs.dec_seg_row,
+                    inputs.dec_seqlens, layer_idx.astype(jnp.int32),
+                    block_size=self.block_size, sm_scale=sm_scale,
+                    max_kv_tiles=b)
+
+            dec_need = icdiv(jnp.max(inputs.dec_seqlens),
+                             self.block_size)
+            outs.append(kv_tile_bucket_switch(dec_need, tiles,
+                                              run_decode))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-        return out[..., :D]
+        out = out[..., :D]
+        if self.kv_scale is not None:
+            out = out * jnp.asarray(self.kv_scale, out.dtype)
+        return out

@@ -39,8 +39,9 @@ class PodAttentionBackend(VattnAttentionBackend):
                 inputs.dec_seg_row, inputs.dec_seg_cum,
                 inputs.dec_seqlens, q_tile=self.q_tile,
                 kv_tile=self.kv_tile, num_segments=self.num_segments,
-                sm_scale=sm_scale)
-            return jnp.concatenate([op, od], axis=0)[..., :D]
+                sm_scale=self._eff_sm_scale(sm_scale))
+            return self._descale_out(
+                jnp.concatenate([op, od], axis=0)[..., :D])
         return super().attend(q, kv_cache, inputs, layer_idx,
                               n_prefill_tokens, sm_scale=sm_scale,
                               kv_len_hint=kv_len_hint)

@@ -19,7 +19,9 @@ from vattention_tpu.ops.cache_append import (WINDOW,
 from vattention_tpu.ops.flash_decode import flash_decode
 from vattention_tpu.ops.flash_prefill import (flash_prefill,
                                               flash_prefill_multi)
-from vattention_tpu.ops.utils import (cdiv, select_kv_tile,
+from vattention_tpu.ops.utils import (cdiv, icdiv,
+                                      kv_tile_bucket_switch,
+                                      select_kv_tile,
                                       tile_rows_from_segments_jnp)
 
 
@@ -30,7 +32,18 @@ class VattnAttentionBackend:
                  max_context_len: int, arena_rows: int,
                  q_tile: int = 128, kv_tile: Optional[int] = None,
                  scratch_row: Optional[int] = None,
-                 sliding_window: Optional[int] = None):
+                 sliding_window: Optional[int] = None,
+                 kv_scale: Optional[float] = None):
+        # int8 KV quantization scale (kv_quant="int8"): K/V are stored
+        # as round(x / kv_scale) int8.  The dequant costs NOTHING per
+        # element inside the kernels -- the K scale folds into sm_scale
+        # (scores = q.K_int * (sm_scale*kv_scale)) and the V scale
+        # multiplies the small attention output once (softmax
+        # normalization is scale-invariant in V's magnitude).  int8 ->
+        # bf16 widening is a native VPU op the decode stream runs at
+        # 64% of the byte roofline, vs 30% for the fp8 manual widening
+        # (docs/PERF.md "fp8 convert cliff").
+        self.kv_scale = kv_scale
         self.sliding_window = sliding_window
         self.scratch_row = (arena_rows if scratch_row is None
                             else scratch_row)
@@ -73,6 +86,19 @@ class VattnAttentionBackend:
                                      self.dec_kv_tile)
         self.dec_n_sub = self.dec_max_kv_tiles * self.dec_kv_fetch
 
+    def _quantize_int8(self, x):
+        s = jnp.float32(self.kv_scale)
+        q = jnp.round(x.astype(jnp.float32) / s)
+        return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+    def _eff_sm_scale(self, sm_scale: float) -> float:
+        return (sm_scale * self.kv_scale if self.kv_scale is not None
+                else sm_scale)
+
+    def _descale_out(self, out):
+        return (out * jnp.asarray(self.kv_scale, out.dtype)
+                if self.kv_scale is not None else out)
+
     @staticmethod
     def _pad_heads(x, Dp: int):
         """Zero-pad the head (lane) dim to the arena's 128-aligned width
@@ -94,6 +120,9 @@ class VattnAttentionBackend:
         """
         k = self._pad_heads(k, kv_cache.shape[-1])
         v = self._pad_heads(v, kv_cache.shape[-1])
+        if self.kv_scale is not None:
+            k = self._quantize_int8(k)
+            v = self._quantize_int8(v)
         rows = inputs.append_rows
         if n_prefill_tokens > 0:
             pad = jnp.zeros((WINDOW,) + k.shape[1:], k.dtype)
@@ -124,23 +153,35 @@ class VattnAttentionBackend:
         """
         D = q.shape[-1]
         q = self._pad_heads(q, kv_cache.shape[-1])
+        sm_scale = self._eff_sm_scale(sm_scale)
         pre_hint, dec_hint = kv_len_hint or (None, None)
         outs = []
         if n_prefill_tokens > 0:
             tiles = self.wide_max_kv_tiles
             if pre_hint:
                 tiles = min(tiles, cdiv(pre_hint, self.wide_kv_tile))
-            outs.append(flash_prefill_multi(
-                q[:n_prefill_tokens], kv_cache,
-                inputs.pre_seg_row, inputs.pre_seg_cum,
-                inputs.pre_qinfo, inputs.qt_run,
-                layer_idx.astype(jnp.int32),
-                inputs.pre_tile_rows,
-                q_tile=self.q_tile, kv_tile=self.wide_kv_tile,
-                num_segments=self.num_segments, sm_scale=sm_scale,
-                max_kv_tiles=tiles,
-                window=self.sliding_window,
-                kv_fetch=self.wide_kv_fetch))
+
+            def run_prefill(b):
+                return flash_prefill_multi(
+                    q[:n_prefill_tokens], kv_cache,
+                    inputs.pre_seg_row, inputs.pre_seg_cum,
+                    inputs.pre_qinfo, inputs.qt_run,
+                    layer_idx.astype(jnp.int32),
+                    inputs.pre_tile_rows,
+                    q_tile=self.q_tile, kv_tile=self.wide_kv_tile,
+                    num_segments=self.num_segments, sm_scale=sm_scale,
+                    max_kv_tiles=b,
+                    window=self.sliding_window,
+                    kv_fetch=self.wide_kv_fetch)
+
+            # in-program pow2 bucket over the step's LIVE max depth: the
+            # static grid otherwise walks max_model_len every step and
+            # the skipped tail dominates long-context prefill (measured
+            # ~90% of prefill step time at 128K, docs/PERF.md)
+            pre_need = icdiv(jnp.max(inputs.pre_qinfo[:, 1]),
+                                self.wide_kv_tile)
+            outs.append(kv_tile_bucket_switch(pre_need, tiles,
+                                              run_prefill))
         if q.shape[0] > n_prefill_tokens:
             Bd = q.shape[0] - n_prefill_tokens
             tile_rows = inputs.dec_tile_rows
@@ -151,19 +192,26 @@ class VattnAttentionBackend:
             tiles = self.dec_max_kv_tiles
             if dec_hint:
                 tiles = min(tiles, cdiv(dec_hint, self.dec_kv_tile))
-            outs.append(flash_decode(
-                q[n_prefill_tokens:], kv_cache,
-                tile_rows, inputs.dec_seqlens,
-                layer_idx.astype(jnp.int32),
-                kv_tile=self.dec_kv_tile,
-                sm_scale=sm_scale, max_kv_tiles=tiles,
-                window=self.sliding_window,
-                kv_fetch=self.dec_kv_fetch,
-                seq_tile=self.decode_seq_tile(
-                    Bd, kv_cache.shape[2], kv_cache.shape[4],
-                    jnp.dtype(kv_cache.dtype).itemsize)))
+
+            def run_decode(b):
+                return flash_decode(
+                    q[n_prefill_tokens:], kv_cache,
+                    tile_rows, inputs.dec_seqlens,
+                    layer_idx.astype(jnp.int32),
+                    kv_tile=self.dec_kv_tile,
+                    sm_scale=sm_scale, max_kv_tiles=b,
+                    window=self.sliding_window,
+                    kv_fetch=self.dec_kv_fetch,
+                    seq_tile=self.decode_seq_tile(
+                        Bd, kv_cache.shape[2], kv_cache.shape[4],
+                        jnp.dtype(kv_cache.dtype).itemsize))
+
+            dec_need = icdiv(jnp.max(inputs.dec_seqlens),
+                                self.dec_kv_tile)
+            outs.append(kv_tile_bucket_switch(dec_need, tiles,
+                                              run_decode))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-        return out[..., :D]
+        return self._descale_out(out[..., :D])
 
     def decode_seq_tile(self, batch: int, n_kv_heads: int, head_dim: int,
                         kv_itemsize: int) -> int:

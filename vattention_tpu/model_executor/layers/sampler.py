@@ -53,3 +53,50 @@ def sample_tokens(
     sampled = jax.random.categorical(rng, scaled, axis=-1)
     argmax = jnp.argmax(logits, axis=-1)
     return jnp.where(greedy, argmax, sampled).astype(jnp.int32)
+
+
+def pack_samples(
+    logits: jnp.ndarray,   # [B, V] float32 (pre-temperature)
+    tokens: jnp.ndarray,   # [B] int32 sampled token ids (-1 = no sample)
+    n_top: int = 0,
+) -> jnp.ndarray:
+    """Pack sampled tokens with their logprobs into ONE int32 array
+    [B, 2 + 2*n_top]: col 0 token id, col 1 logprob f32 bits, cols
+    2:2+n selects the top-n token ids, 2+n:2+2n their logprob bits.
+
+    One packed array means one device->host fetch per step -- through a
+    remote-dispatch tunnel each extra fetched array costs ~2ms, so
+    tokens and logprobs must not travel separately.  Logprobs are over
+    the raw logits (the OpenAI convention: pre-temperature
+    distribution), computed with one logsumexp -- ~V flops/row next to
+    the lm-head's H*V matmul.  ref: sarathi-lean samples logprobs via
+    torch.log_softmax in its sampler (layers/sampler.py)."""
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    tok = jnp.clip(tokens, 0, logits.shape[-1] - 1)
+    lp = (jnp.take_along_axis(
+        logits.astype(jnp.float32), tok[:, None], axis=-1)[:, 0] - lse)
+    parts = [tokens[:, None],
+             jax.lax.bitcast_convert_type(lp, jnp.int32)[:, None]]
+    if n_top > 0:
+        top_vals, top_ids = jax.lax.top_k(
+            logits.astype(jnp.float32), n_top)
+        top_lps = top_vals - lse[:, None]
+        parts += [top_ids.astype(jnp.int32),
+                  jax.lax.bitcast_convert_type(top_lps, jnp.int32)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def unpack_samples(samples, n_top: int = 0):
+    """Host-side inverse of pack_samples: (tokens [B], logprobs [B],
+    top_ids [B, n], top_lps [B, n]) as numpy arrays."""
+    import numpy as np
+
+    samples = np.asarray(samples)
+    tokens = samples[:, 0]
+    lps = samples[:, 1].view(np.float32)
+    if n_top > 0:
+        top_ids = samples[:, 2:2 + n_top]
+        top_lps = samples[:, 2 + n_top:2 + 2 * n_top].view(np.float32)
+    else:
+        top_ids = top_lps = None
+    return tokens, lps, top_ids, top_lps

@@ -25,7 +25,8 @@ from vattention_tpu.logger import init_logger
 from vattention_tpu.model_executor.attention.vattn_backend import (
     VattnAttentionBackend,
 )
-from vattention_tpu.model_executor.layers.sampler import sample_tokens
+from vattention_tpu.model_executor.layers.sampler import (
+    pack_samples, sample_tokens, unpack_samples)
 from vattention_tpu.model_executor.models import get_model_class
 from vattention_tpu.model_executor.step_inputs import StepInputs
 from vattention_tpu.model_executor.weight_utils import load_weights
@@ -37,17 +38,20 @@ logger = init_logger(__name__)
 class StepHandle:
     """A dispatched-but-unmaterialized serving step (async execution)."""
 
-    __slots__ = ("seq_metadata_list", "sampled", "tokens")
+    __slots__ = ("seq_metadata_list", "sampled", "samples", "n_top")
 
-    def __init__(self, seq_metadata_list, sampled, tokens):
+    def __init__(self, seq_metadata_list, sampled, samples, n_top=0):
         self.seq_metadata_list = seq_metadata_list
         # [(seq, slot, generation-at-dispatch)] for every sampled token
         self.sampled = sampled
-        self.tokens = tokens  # device array [B]
+        # device array [B, 2+2*n_top]: packed tokens + logprobs
+        # (layers/sampler.pack_samples)
+        self.samples = samples
+        self.n_top = n_top
 
     def is_ready(self) -> bool:
         try:
-            return self.tokens.is_ready()
+            return self.samples.is_ready()
         except Exception:  # noqa: BLE001
             return True
 
@@ -121,6 +125,12 @@ class ModelRunner:
                              if self.pp > 1 else None)
         self.B = config.cache_config.max_batch_size
         self.S = cache_engine.table_width
+        # top-N alternative logprobs returned per sampled token (0 =
+        # only the sampled token's logprob, which is always computed --
+        # one logsumexp next to the lm-head matmul is free, and it
+        # rides in the same packed fetch as the token ids)
+        self.logprobs_top = getattr(config.model_config, "max_logprobs",
+                                    0)
         from vattention_tpu.model_executor.attention import (
             AttentionBackend)
 
@@ -143,7 +153,8 @@ class ModelRunner:
                 arena_rows=cache_engine.allocator.arena_tokens,
                 q_tile=self.q_tile,
                 scratch_row=cache_engine.scratch_row,
-                sliding_window=arch.sliding_window)
+                sliding_window=arch.sliding_window,
+                kv_scale=getattr(cache_engine, "kv_scale", None))
         elif cache_engine.kind == "vattn":
             self.backend = VattnAttentionBackend(
                 block_tokens=cache_engine.block_tokens,
@@ -152,7 +163,8 @@ class ModelRunner:
                 arena_rows=cache_engine.allocator.arena_tokens,
                 q_tile=self.q_tile,
                 scratch_row=cache_engine.scratch_row,
-                sliding_window=arch.sliding_window)
+                sliding_window=arch.sliding_window,
+                kv_scale=getattr(cache_engine, "kv_scale", None))
         else:
             from vattention_tpu.model_executor.attention.paged_backend \
                 import PagedAttentionBackend
@@ -161,7 +173,8 @@ class ModelRunner:
                 block_size=cache_engine.block_size,
                 max_context_len=config.model_config.max_model_len,
                 scratch_row=cache_engine.scratch_row,
-                q_tile=self.q_tile)
+                q_tile=self.q_tile,
+                kv_scale=getattr(cache_engine, "kv_scale", None))
         # captured at construction: under multi-replica serving each
         # engine owns its own store and the class singleton points at
         # whichever replica was built last
@@ -255,7 +268,8 @@ class ModelRunner:
                                inputs.top_k, step_rng)
         tokens = jnp.where(inputs.sample_idx >= 0, tokens, -1)
         tok_buf = jnp.where(tokens >= 0, tokens, tok_buf)
-        return kv_cache, tok_buf, tokens, rng
+        samples = pack_samples(logits, tokens, self.logprobs_top)
+        return kv_cache, tok_buf, samples, rng
 
     def _splice_prev_tokens(self, inputs: StepInputs, tok_buf, n_pre: int):
         """Decode slots flagged use_prev_tok read their input token from the
@@ -279,7 +293,8 @@ class ModelRunner:
                                inputs.top_k, step_rng)
         tokens = jnp.where(inputs.sample_idx >= 0, tokens, -1)
         tok_buf = jnp.where(tokens >= 0, tokens, tok_buf)
-        return kv_cache, tok_buf, tokens, rng
+        samples = pack_samples(logits, tokens, self.logprobs_top)
+        return kv_cache, tok_buf, samples, rng
 
     # ------------------------------------------------------------------ #
     def _prepare_inputs(self, seq_metadata_list: List[SequenceMetadata]):
@@ -514,12 +529,12 @@ class ModelRunner:
             seq_metadata_list)
         self._metrics_store.push_cpu_operation_time(
             CpuOperationMetrics.PREPARE_INPUTS, _time.perf_counter() - _t0)
-        kv_cache, self._tok_buf, tokens, self._rng = self._step_fn(
+        kv_cache, self._tok_buf, samples, self._rng = self._step_fn(
             self.params, self.cache_engine.kv_cache, self._tok_buf,
             inputs, n_pre=n_pre, kv_len_hint=kv_len_hint)
         self.cache_engine.kv_cache = kv_cache
         try:
-            tokens.copy_to_host_async()
+            samples.copy_to_host_async()
         except Exception:  # noqa: BLE001 -- not all backends support it
             pass
 
@@ -532,13 +547,21 @@ class ModelRunner:
                 if processed + meta.prompt_chunk_len < seq.get_prompt_len():
                     continue  # mid-prompt chunk: nothing sampled
             sampled.append((seq, ce.slot_of(meta.seq_id), seq.generation))
-        return StepHandle(seq_metadata_list, sampled, tokens)
+        return StepHandle(seq_metadata_list, sampled, samples,
+                          self.logprobs_top)
 
     @staticmethod
     def resolve(handle: "StepHandle") -> SamplerOutputs:
         """Materialize a dispatched step's sampled tokens (blocking)."""
-        tokens = np.asarray(handle.tokens)
-        return [SamplerOutput(seq.seq_id, int(tokens[slot]))
+        tokens, lps, top_ids, top_lps = unpack_samples(
+            handle.samples, handle.n_top)
+        return [SamplerOutput(
+                    seq.seq_id, int(tokens[slot]),
+                    logprob=float(lps[slot]),
+                    top_logprobs=(
+                        None if top_ids is None else
+                        [(int(i), float(p)) for i, p in
+                         zip(top_ids[slot], top_lps[slot])]))
                 for seq, slot, gen in handle.sampled
                 if seq.generation == gen]
 

@@ -52,6 +52,36 @@ def icdiv(a, b: int):
     return jax.lax.div(a + jnp.int32(b - 1), jnp.int32(b))
 
 
+def kv_tile_bucket_switch(n_needed, max_tiles: int, fn,
+                          min_tiles: int = 4):
+    """Run ``fn(b)`` for the smallest pow2 bucket ``b >= n_needed``.
+
+    The attention kernels' kv-tile grids are static, so without a bound
+    they cover max_model_len every step and the SKIPPED tail steps'
+    fixed cost (~2-3us each: scalar index maps + DMA-elision checks)
+    dominates long-context prefill -- measured 128K grid cells spent
+    ~90% of prefill step time walking empty grid (docs/PERF.md).  Host
+    -side pow2 hints (dynamic_kv_len_buckets) fix it at the price of a
+    full-step recompile per bucket crossing INSIDE the serving run;
+    this helper instead compiles every bucket variant into ONE program
+    as `lax.switch` branches and picks the bucket from the live depth
+    (a traced scalar) at run time -- no recompiles, no tail.
+    """
+    buckets = []
+    b = min_tiles
+    while b < max_tiles:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_tiles)
+    if len(buckets) == 1:
+        return fn(buckets[0])
+    idx = jnp.searchsorted(jnp.asarray(buckets, jnp.int32),
+                           jnp.asarray(n_needed, jnp.int32))
+    idx = jnp.clip(idx, 0, len(buckets) - 1)
+    return jax.lax.switch(
+        idx, [functools.partial(fn, bb) for bb in buckets])
+
+
 def round_up(x: int, m: int) -> int:
     return cdiv(x, m) * m
 

@@ -40,6 +40,13 @@ class PagedCacheEngine(BaseCacheEngine):
         # silently staying bf16 made the round-3 fp8 grid unfair)
         if config.cache_config.kv_quant == "fp8":
             dtype = jnp.float8_e4m3fn
+        self.kv_scale = None
+        if config.cache_config.kv_quant == "int8":
+            import os as _os
+
+            dtype = jnp.int8
+            self.kv_scale = float(_os.environ.get("KV_INT8_SCALE",
+                                                  "0.04"))
         self.dtype = dtype
         self.num_layers = model_config.get_num_layers(parallel_config)
         self.num_kv_heads = model_config.get_num_kv_heads(parallel_config)

@@ -42,6 +42,18 @@ class VAttnCacheEngine(BaseCacheEngine):
         # f32 before the matmul).  Halves KV HBM footprint + bandwidth.
         if config.cache_config.kv_quant == "fp8":
             dtype = jnp.float8_e4m3fn
+        # INT8 KV: round(x / KV_INT8_SCALE) storage.  Dequant is free in
+        # the kernels (scale folds into sm_scale / the output epilogue,
+        # attention/vattn_backend.py) and int8->bf16 widening is a
+        # native VPU op, so the decode stream runs ~2x faster than the
+        # fp8 manual widening (docs/PERF.md fp8-convert-cliff section).
+        self.kv_scale = None
+        if config.cache_config.kv_quant == "int8":
+            import os as _os
+
+            dtype = jnp.int8
+            self.kv_scale = float(_os.environ.get("KV_INT8_SCALE",
+                                                  "0.04"))
         cache_config = config.cache_config
         parallel_config = config.parallel_config
 
@@ -85,7 +97,7 @@ class VAttnCacheEngine(BaseCacheEngine):
             head_size=self.head_size_padded,
             max_batch_size=self.max_batch_size,
             max_context_length=model_config.max_model_len,
-            dtype_bytes=(1 if dtype == jnp.float8_e4m3fn
+            dtype_bytes=(1 if dtype in (jnp.float8_e4m3fn, jnp.int8)
                          else 4 if dtype == jnp.float32 else 2),
             page_size=cache_config.page_size,
             megacache=AttentionBackend.is_megacache(backend)
