@@ -65,7 +65,7 @@ def main():
     seqlens = jnp.full(B, ctx, jnp.int32)
     dinfo = jnp.zeros(1, jnp.int32)
 
-    kv_itemsize = 1 if args.kv_dtype == "fp8" else 2
+    kv_itemsize = 1 if args.kv_dtype in ("fp8", "int8") else 2
     kv_bytes = B * ctx * Hkv * D * 2 * kv_itemsize  # K+V
     print(f"KV traffic per call: {kv_bytes/1e6:.1f} MB; roofline per "
           f"{L} calls: {L*kv_bytes/HBM_BW*1e3:.2f} ms")

@@ -148,12 +148,15 @@ if has_group models; then
     run_cfg 32768 $backend 100 8 8 none none falcon
   done
 fi
-# 6. 256kb at depth + the fp8 pair (both engines quantized)
+# 6. 256kb at depth + the fp8 and int8 pairs (both engines quantized)
 if has_group fullextras; then
   run_cfg 65536 fa_vattn_256kb 100 4 6
   run_cfg 131072 fa_vattn_256kb 100 2 4
   for backend in fa_vattn_2mb fa_paged_256; do
     run_cfg 65536 $backend 100 4 6 fp8
+  done
+  for backend in fa_vattn_2mb fa_paged_256; do
+    run_cfg 65536 $backend 100 4 6 int8
   done
 fi
 # 7. POD fused-kernel cells.  The fused kernel compiles once per
