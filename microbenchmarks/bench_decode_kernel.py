@@ -38,7 +38,8 @@ def main():
     args = p.parse_args()
 
     from vattention_tpu.ops.flash_decode import flash_decode
-    from vattention_tpu.ops.utils import tile_rows_from_segments
+    from vattention_tpu.ops.utils import (fp8_packed_enabled,
+                                          tile_rows_from_segments)
 
     B, Hq, Hkv, D = args.batch, args.hq, args.hkv, args.head_dim
     L = args.layers
@@ -84,7 +85,8 @@ def main():
                     dinfo + (i % Lc),
                     kv_tile=kv_tile,
                     max_kv_tiles=n_tiles,
-                    kv_fetch=kv_fetch, seq_tile=seq_tile)
+                    kv_fetch=kv_fetch, seq_tile=seq_tile,
+                    fp8_packed=fp8_packed_enabled(kv.dtype))
             return outs
         return many, tile_rows
 

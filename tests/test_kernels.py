@@ -602,6 +602,119 @@ def test_paged_flash_prefill_multi_matches_reference():
             err_msg=f"run {r}")
 
 
+def _run_packed_upcast(exact):
+    from jax.experimental import pallas as pl
+
+    from vattention_tpu.ops.utils import upcast_kv_packed
+
+    def kern(x_ref, o_ref):
+        o_ref[:] = upcast_kv_packed(x_ref[:], jnp.bfloat16, exact=exact)
+
+    bits = np.tile(np.arange(256, dtype=np.uint8).reshape(2, 128),
+                   (16, 1))  # [32, 128], every pattern
+    x = jax.lax.bitcast_convert_type(jnp.asarray(bits.astype(np.int8)),
+                                     jnp.float8_e4m3fn)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((32, 128), jnp.bfloat16),
+        interpret=True,
+    )(x)
+    got = np.asarray(out, np.float32)
+    ref = np.asarray(x.astype(jnp.float32))
+    return got, ref
+
+
+def test_upcast_kv_packed_exact_all_fp8_patterns():
+    """ops/utils.upcast_kv_packed (exact=True): bit-exact vs astype on
+    all finite e4m3 patterns, with the documented even-then-odd order."""
+    got, ref = _run_packed_upcast(exact=True)
+    finite = ~np.isnan(ref)
+    # row order: first half = even source rows, second half = odd
+    assert np.array_equal(got[:16][finite[0::2]], ref[0::2][finite[0::2]])
+    assert np.array_equal(got[16:][finite[1::2]], ref[1::2][finite[1::2]])
+
+
+def test_upcast_kv_packed_fast_normals_and_zero():
+    """The fast path (exact=False, the serving default) must be exact on
+    every NORMAL pattern and +-0; denormal patterns decode to their
+    value or zero depending on platform flush, and never occur in the
+    arena (the append path flushes them at write time)."""
+    got, ref = _run_packed_upcast(exact=False)
+    bits = np.tile(np.arange(256, dtype=np.uint8).reshape(2, 128),
+                   (16, 1))
+    exp = (bits >> 3) & 0xF
+    is_denorm = (exp == 0) & ((bits & 0x7) != 0)
+    check = ~np.isnan(ref) & ~is_denorm      # normals and +-0
+    assert np.array_equal(got[:16][check[0::2]], ref[0::2][check[0::2]])
+    assert np.array_equal(got[16:][check[1::2]], ref[1::2][check[1::2]])
+    # denormal patterns: value-exact or flushed to zero, nothing else
+    d = is_denorm[0::2]
+    ok = (got[:16][d] == ref[0::2][d]) | (got[:16][d] == 0.0)
+    assert ok.all()
+
+
+def test_flash_decode_fp8_packed_matches_unpacked():
+    """The packed fp8 widening permutes KV rows within a tile; with the
+    mask remap (packed_kv_pos) decode must agree with the unpacked path
+    to accumulation-order noise, including odd in-tile boundaries."""
+    rng = np.random.default_rng(7)
+    raw = rng.standard_normal((L, 2, HKV, R, D))
+    raw[np.abs(raw) < 15 * 2.0 ** -10] = 0.0  # write-flush contract
+    cache = jnp.asarray(raw, jnp.float32).astype(jnp.float8_e4m3fn)
+    B = 4
+    per_seq_extents = [
+        [(0, 512)],
+        [(512, 256), (1280, 256)],
+        [(768, 256)],
+        [(1536, 512)],
+    ]
+    # odd / non-multiple-of-tile lengths stress the permuted mask edge
+    seqlens = np.array([501, 443, 1, 257], np.int32)
+    q = jnp.asarray(rng.standard_normal((B, HQ, D)), jnp.bfloat16)
+    seg_row = np.zeros((B, S), np.int32)
+    seg_cum = np.zeros((B, S + 1), np.int32)
+    for b in range(B):
+        r, c = seg_tables(per_seq_extents[b])
+        seg_row[b], seg_cum[b] = np.asarray(r), np.asarray(c)
+    from vattention_tpu.ops.utils import tile_rows_from_segments
+
+    tile_rows = jnp.asarray(
+        tile_rows_from_segments(seg_row, seg_cum, 256, 4))
+    outs = {}
+    for packed in (False, True):
+        outs[packed] = np.asarray(flash_decode(
+            q, cache, tile_rows, jnp.asarray(seqlens),
+            jnp.zeros(1, jnp.int32), kv_tile=256, max_kv_tiles=4,
+            fp8_packed=packed), np.float32)
+    assert np.isfinite(outs[True]).all()
+    np.testing.assert_allclose(outs[True], outs[False],
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_flash_prefill_fp8_packed_matches_unpacked():
+    """Causal + length masks under the packed row permutation."""
+    rng = np.random.default_rng(8)
+    raw = rng.standard_normal((L, 2, HKV, R, D))
+    raw[np.abs(raw) < 15 * 2.0 ** -10] = 0.0  # write-flush contract
+    cache = jnp.asarray(raw, jnp.float32).astype(jnp.float8_e4m3fn)
+    extents, kv_len, q_start = [(256, 512), (1024, 512)], 899, 388
+    q_tile = 128
+    Tq_actual = kv_len - q_start
+    Tq = -(-Tq_actual // q_tile) * q_tile
+    q = jnp.asarray(rng.standard_normal((Tq, HQ, D)), jnp.bfloat16)
+    seg_row, seg_cum = seg_tables(extents)
+    qinfo = jnp.array([q_start, kv_len, 1], jnp.int32)
+    outs = {}
+    for packed in (False, True):
+        outs[packed] = np.asarray(flash_prefill(
+            q, cache, seg_row, seg_cum, qinfo, q_tile=q_tile,
+            kv_tile=256, num_segments=S, max_kv_tiles=8,
+            fp8_packed=packed)[:Tq_actual], np.float32)
+    assert np.isfinite(outs[True]).all()
+    np.testing.assert_allclose(outs[True], outs[False],
+                               atol=1e-3, rtol=1e-3)
+
+
 def test_upcast_kv_exact_all_fp8_patterns():
     """ops/utils.upcast_kv must reproduce astype exactly for every
     finite e4m3 bit pattern (NaN excluded by contract: the append path

@@ -61,6 +61,11 @@ class PagedAttentionBackend:
         if self.kv_scale is not None:
             k = VattnAttentionBackend._quantize_int8(self, k)
             v = VattnAttentionBackend._quantize_int8(self, v)
+        else:
+            k = VattnAttentionBackend._flush_fp8_subnormals(
+                k, kv_cache.dtype)
+            v = VattnAttentionBackend._flush_fp8_subnormals(
+                v, kv_cache.dtype)
         rows = inputs.append_rows
         if n_prefill_tokens > 0:
             pad = jnp.zeros((WINDOW,) + k.shape[1:], k.dtype)

@@ -19,7 +19,7 @@ from vattention_tpu.ops.cache_append import (WINDOW,
 from vattention_tpu.ops.flash_decode import flash_decode
 from vattention_tpu.ops.flash_prefill import (flash_prefill,
                                               flash_prefill_multi)
-from vattention_tpu.ops.utils import (cdiv, icdiv,
+from vattention_tpu.ops.utils import (cdiv, fp8_packed_enabled, icdiv,
                                       kv_tile_bucket_switch,
                                       select_kv_tile,
                                       tile_rows_from_segments_jnp)
@@ -99,6 +99,29 @@ class VattnAttentionBackend:
         return (out * jnp.asarray(self.kv_scale, out.dtype)
                 if self.kv_scale is not None else out)
 
+    # values below this round to an e4m3 denormal (largest denormal
+    # 7*2^-9; midpoint to the min normal 2^-6 is 15*2^-10)
+    FP8_SUBNORMAL_CUTOFF = 15.0 * 2.0 ** -10
+
+    @staticmethod
+    def _flush_fp8_subnormals(x, cache_dtype):
+        """Zero anything that would store as an e4m3 DENORMAL pattern.
+
+        Two ops on the small per-step append tensor buy the packed fast
+        read path (ops/utils.upcast_kv_packed exact=False): with no
+        denormal patterns in the arena, rebias is one bf16 multiply per
+        pair instead of the magic-number select, and the 64K fp8 decode
+        stream stops being VPU-bound.  Quality-wise the flushed values
+        are |x| < 0.0147 -- below e4m3's normal range, i.e. noise at
+        K/V magnitudes -- and the fp8 ppl gate (tests/test_fp8_quality)
+        runs through this path.
+        """
+        if jnp.dtype(cache_dtype) != jnp.float8_e4m3fn:
+            return x
+        cut = VattnAttentionBackend.FP8_SUBNORMAL_CUTOFF
+        return jnp.where(jnp.abs(x.astype(jnp.float32)) < cut,
+                         jnp.zeros((), x.dtype), x)
+
     @staticmethod
     def _pad_heads(x, Dp: int):
         """Zero-pad the head (lane) dim to the arena's 128-aligned width
@@ -123,6 +146,9 @@ class VattnAttentionBackend:
         if self.kv_scale is not None:
             k = self._quantize_int8(k)
             v = self._quantize_int8(v)
+        else:
+            k = self._flush_fp8_subnormals(k, kv_cache.dtype)
+            v = self._flush_fp8_subnormals(v, kv_cache.dtype)
         rows = inputs.append_rows
         if n_prefill_tokens > 0:
             pad = jnp.zeros((WINDOW,) + k.shape[1:], k.dtype)
@@ -172,7 +198,8 @@ class VattnAttentionBackend:
                     num_segments=self.num_segments, sm_scale=sm_scale,
                     max_kv_tiles=b,
                     window=self.sliding_window,
-                    kv_fetch=self.wide_kv_fetch)
+                    kv_fetch=self.wide_kv_fetch,
+                    fp8_packed=fp8_packed_enabled(kv_cache.dtype))
 
             # in-program pow2 bucket over the step's LIVE max depth: the
             # static grid otherwise walks max_model_len every step and
@@ -204,7 +231,8 @@ class VattnAttentionBackend:
                     kv_fetch=self.dec_kv_fetch,
                     seq_tile=self.decode_seq_tile(
                         Bd, kv_cache.shape[2], kv_cache.shape[4],
-                        jnp.dtype(kv_cache.dtype).itemsize))
+                        jnp.dtype(kv_cache.dtype).itemsize),
+                    fp8_packed=fp8_packed_enabled(kv_cache.dtype))
 
             dec_need = icdiv(jnp.max(inputs.dec_seqlens),
                                 self.dec_kv_tile)

@@ -30,8 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, icdiv, idiv,
-                                      interpret_mode, tpu_params,
-                                      upcast_kv)
+                                      interpret_mode, packed_kv_pos,
+                                      tpu_params, upcast_kv,
+                                      upcast_kv_packed)
 
 
 def _decode_kernel(
@@ -43,6 +44,7 @@ def _decode_kernel(
     m_ref, l_ref, acc_ref,
     *, kv_tile: int, kv_fetch: int, seq_tile: int,
     sm_scale: float, window: int | None = None,
+    fp8_packed: bool = False,
 ):
     g = pl.program_id(0)
     kt = pl.program_id(1)
@@ -91,8 +93,12 @@ def _decode_kernel(
         v = gather(1)
         # compute-dtype matmuls (bf16 MXU, f32 accumulate); fp8 arenas
         # upcast via the manual widening (Mosaic's native fp8 convert is
-        # ~8x off bandwidth -- ops/utils.upcast_kv)
-        k = upcast_kv(k, q.dtype)
+        # ~8x off bandwidth -- ops/utils.upcast_kv).  The packed variant
+        # widens 2 values per 32-bit lane; its row permutation is
+        # absorbed by remapping kv_pos (attention is row-permutation
+        # invariant when K, V and the mask share the permutation).
+        widen = upcast_kv_packed if fp8_packed else upcast_kv
+        k = widen(k, q.dtype)
         # Mosaic's matmul takes ONE batch dim: fold (bs, Hkv)
         s = jax.lax.dot_general(
             q.reshape(bs * Hkv, G, D), k.reshape(bs * Hkv, kv_tile, D),
@@ -100,9 +106,10 @@ def _decode_kernel(
             preferred_element_type=jnp.float32,
         ).reshape(bs, Hkv, G, kv_tile)
         s = s * sm_scale
-        kv_pos = (kt * kv_tile
-                  + jax.lax.broadcasted_iota(
-                      jnp.int32, (G, kv_tile), 1))
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (G, kv_tile), 1)
+        if fp8_packed:
+            kv_pos = packed_kv_pos(kv_pos, kv_tile)
+        kv_pos = kt * kv_tile + kv_pos
         # per-member masks from SMEM scalars (scalar broadcasts are
         # free; broadcasting a 1-D [bs] vector into leading dims is a
         # shape cast Mosaic cannot lay out)
@@ -123,7 +130,7 @@ def _decode_kernel(
         p = jnp.where(valid, jnp.exp(s - m_new[..., None]), 0.0)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1)
-        v = upcast_kv(v, q_ref.dtype)
+        v = widen(v, q_ref.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype).reshape(bs * Hkv, G, kv_tile),
             v.reshape(bs * Hkv, kv_tile, D),
@@ -145,8 +152,8 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kv_tile", "sm_scale",
-                     "max_kv_tiles", "window", "kv_fetch", "seq_tile"))
+    static_argnames=("kv_tile", "sm_scale", "max_kv_tiles", "window",
+                     "kv_fetch", "seq_tile", "fp8_packed"))
 def flash_decode(
     q: jax.Array,            # [B, Hq, D]
     kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
@@ -162,6 +169,7 @@ def flash_decode(
     window: int | None = None,
     kv_fetch: int = 1,
     seq_tile: int = 1,
+    fp8_packed: bool = False,
 ) -> jax.Array:
     """``kv_fetch`` splits the compute tile into block-aligned sub-tile
     DMAs (see flash_prefill) so wide tiles work on small-page arenas;
@@ -173,6 +181,9 @@ def flash_decode(
     B, Hq, D = q.shape
     L, _, Hkv, R, _ = kv_cache.shape
     assert kv_tile % kv_fetch == 0
+    if fp8_packed:
+        assert kv_cache.dtype == jnp.float8_e4m3fn, kv_cache.dtype
+        assert kv_tile % 4 == 0, kv_tile
     assert B % seq_tile == 0, (B, seq_tile)
     bs = seq_tile
     sub = kv_tile // kv_fetch
@@ -222,7 +233,8 @@ def flash_decode(
                        q_ref, tuple(kv_refs), out_ref, m_ref, l_ref,
                        acc_ref, kv_tile=kv_tile, kv_fetch=kv_fetch,
                        seq_tile=bs,
-                       sm_scale=sm_scale, window=window)
+                       sm_scale=sm_scale, window=window,
+                       fp8_packed=fp8_packed)
 
     return pl.pallas_call(
         kernel,

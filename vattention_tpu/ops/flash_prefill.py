@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vattention_tpu.ops.utils import (MASK_VALUE, cdiv, icdiv, idiv,
                                       interpret_mode, seg_row_lookup,
-                                      tpu_params, upcast_kv)
+                                      packed_kv_pos, tpu_params,
+                                      upcast_kv, upcast_kv_packed)
 
 
 def _prefill_kernel(
@@ -45,6 +46,7 @@ def _prefill_kernel(
     m_ref, l_ref, acc_ref,
     *, q_tile: int, kv_tile: int, num_segments: int, sm_scale: float,
     window: int | None = None, qt_run_ref=None,
+    fp8_packed: bool = False,
 ):
     if not isinstance(k_refs, (tuple, list)):
         k_refs, v_refs = (k_refs,), (v_refs,)
@@ -108,8 +110,10 @@ def _prefill_kernel(
         # at full rate (f32 accumulate); f32 test mode stays
         # bit-exact; fp8 arenas upcast via the manual widening
         # (Mosaic's native fp8 convert is ~8x off bandwidth --
-        # ops/utils.upcast_kv)
-        k = upcast_kv(k, q.dtype)
+        # ops/utils.upcast_kv; the packed variant's row permutation is
+        # absorbed into kv_pos below)
+        widen = upcast_kv_packed if fp8_packed else upcast_kv
+        k = widen(k, q.dtype)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [q_tile*G, kv_tile]
@@ -119,8 +123,11 @@ def _prefill_kernel(
             row = jax.lax.broadcasted_iota(
                 jnp.int32, (q_tile * G, kv_tile), 0)
             q_pos = q_lo + idiv(row, G)
-            kv_pos = (tile_start + jax.lax.broadcasted_iota(
-                jnp.int32, (q_tile * G, kv_tile), 1))
+            kv_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (q_tile * G, kv_tile), 1)
+            if fp8_packed:
+                kv_pos = packed_kv_pos(kv_pos, kv_tile)
+            kv_pos = tile_start + kv_pos
             mask = jnp.logical_and(q_pos >= kv_pos, kv_pos < kv_len)
             if window is not None:
                 mask = jnp.logical_and(mask, kv_pos > q_pos - window)
@@ -130,7 +137,7 @@ def _prefill_kernel(
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1)
-        v = upcast_kv(v, q.dtype)
+        v = widen(v, q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -166,7 +173,8 @@ def _prefill_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("q_tile", "kv_tile", "num_segments",
-                     "sm_scale", "max_kv_tiles", "window", "kv_fetch"))
+                     "sm_scale", "max_kv_tiles", "window", "kv_fetch",
+                     "fp8_packed"))
 def flash_prefill(
     q: jax.Array,            # [Tq, Hq, D], Tq % q_tile == 0
     kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
@@ -181,6 +189,7 @@ def flash_prefill(
     max_kv_tiles: int | None = None,
     window: int | None = None,
     kv_fetch: int = 1,
+    fp8_packed: bool = False,
 ) -> jax.Array:
     """``kv_fetch`` splits the compute tile into that many separately
     addressed sub-tile DMAs of kv_tile/kv_fetch rows each, so a 512-wide
@@ -243,7 +252,7 @@ def flash_prefill(
                         out_ref, m_ref, l_ref, acc_ref,
                         q_tile=q_tile, kv_tile=kv_tile,
                         num_segments=num_segments, sm_scale=sm_scale,
-                        window=window)
+                        window=window, fp8_packed=fp8_packed)
 
     out = pl.pallas_call(
         kernel,
@@ -259,7 +268,8 @@ def flash_prefill(
 @functools.partial(
     jax.jit,
     static_argnames=("q_tile", "kv_tile", "num_segments",
-                     "sm_scale", "max_kv_tiles", "window", "kv_fetch"))
+                     "sm_scale", "max_kv_tiles", "window", "kv_fetch",
+                     "fp8_packed"))
 def flash_prefill_multi(
     q: jax.Array,            # [Tq, Hq, D], Tq % q_tile == 0
     kv_cache: jax.Array,     # [L, 2, Hkv, R, D]
@@ -277,6 +287,7 @@ def flash_prefill_multi(
     max_kv_tiles: int | None = None,
     window: int | None = None,
     kv_fetch: int = 1,
+    fp8_packed: bool = False,
 ) -> jax.Array:
     """Multi-sequence chunked prefill in ONE kernel launch.
 
@@ -359,7 +370,8 @@ def flash_prefill_multi(
                         out_ref, m_ref, l_ref, acc_ref,
                         q_tile=q_tile, kv_tile=kv_tile,
                         num_segments=num_segments, sm_scale=sm_scale,
-                        window=window, qt_run_ref=qt_run_ref)
+                        window=window, qt_run_ref=qt_run_ref,
+                        fp8_packed=fp8_packed)
 
     out = pl.pallas_call(
         kernel,

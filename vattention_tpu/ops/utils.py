@@ -169,6 +169,115 @@ def upcast_kv(x, dtype):
     return out.astype(dtype)
 
 
+def upcast_kv_packed(x, dtype, exact: bool | None = None):
+    """e4m3 -> bf16 widening at 2 values per 32-bit lane; output rows
+    permuted to even-positions-then-odd-positions along the second-minor
+    axis (see ``packed_kv_pos``).
+
+    ``upcast_kv`` widens one fp8 value per int32 lane (~14 VPU ops per
+    value at 1/4 register occupancy -- i16 shifts do not legalize in
+    Mosaic, so the scalar path is stuck on 32-bit lanes).  This variant
+    bitcasts 4 consecutive rows into each 32-bit lane (``pltpu.bitcast``
+    is row-major on both TPU and interpret mode) and builds two bf16
+    patterns per 32-bit op:
+
+      p = bytes [b0 b1 b2 b3] of rows r..r+3       (one uint32 lane)
+      t_even = ((p & 0x007F007F) << 4) | ((p & 0x00800080) << 8)
+      t_odd  = ((p & 0x7F007F00) >> 4) |  (p & 0x80008000)
+
+    which lands each byte's payload in its bf16 half's exponent+mantissa
+    field (exponent biased 127 vs e4m3's 7) and the sign at bit 15/31.
+    Normals rebias by an INTEGER add of 120<<7 per half (e+120 <= 135
+    cannot carry across the half).  Denormals (e=0: |v| = m * 2^-9)
+    take a magic-number path -- bf16(0x4300|m) - 128 = m exactly, times
+    a sign-patterned +-2^-9 -- and the two are merged with a uint32
+    mask spread from the is-normal bit, so the result is deterministic
+    and flush-independent (Mosaic rejects bf16 vector compares, and the
+    float-select alternative depends on denormal flush behavior).
+    Exhaustively bit-exact vs astype on all 254 finite patterns on both
+    TPU and interpret mode (tests/test_kernels.py).
+
+    Output row order: t_even's bf16 pair is rows (r, r+2), t_odd's is
+    (r+1, r+3); concatenating all-even then all-odd along the row axis
+    gives logical positions pos(i) = 2i for the first half and
+    2(i - T/2) + 1 for the second.  Attention is permutation-invariant
+    over KV rows, so callers feed K and V through the same packing and
+    mask with ``packed_kv_pos`` instead of a plain iota.
+
+    ``exact=False`` (the default unless VATTN_FP8_EXACT=1) drops the
+    denormal machinery: rebias is ONE bf16 multiply by 2^120 per pair,
+    which maps +-0 to +-0 (a zero half stays zero bits) and every
+    normal pattern exactly; denormal PATTERNS decode to m*2^-9-or-zero
+    depending on platform flush behavior.  The arena never contains
+    them: the append path flushes sub-normal-magnitude inputs to zero
+    at write time (VattnAttentionBackend._flush_fp8_subnormals), so the
+    fast path is value-exact on everything the kernels read while
+    costing ~11 VPU lane-ops per 4 values vs the exact path's ~26 --
+    at 64K decode depth the convert stream is VPU-throughput-bound and
+    this is the difference between ~32% and ~55%+ of the fp8 byte
+    roofline (docs/PERF.md).
+    """
+    import os
+    if exact is None:
+        exact = os.environ.get("VATTN_FP8_EXACT", "0") == "1"
+    U = jnp.uint32
+    assert x.dtype == jnp.float8_e4m3fn, x.dtype
+    T = x.shape[-2]
+    assert T % 4 == 0, x.shape
+    p = pltpu.bitcast(jax.lax.bitcast_convert_type(x, jnp.int8),
+                      jnp.uint32)                      # [..., T//4, D]
+    if not exact:
+        scale = jnp.bfloat16(2.0 ** 120)
+        t_e = (((p & U(0x007F007F)) << 4)
+               | ((p & U(0x00800080)) << 8))
+        t_o = ((p & U(0x7F007F00)) >> 4) | (p & U(0x80008000))
+        out = jnp.concatenate(
+            [pltpu.bitcast(t_e, jnp.bfloat16) * scale,
+             pltpu.bitcast(t_o, jnp.bfloat16) * scale], axis=-2)
+        return out if dtype == jnp.bfloat16 else out.astype(dtype)
+    sign_e = (p & U(0x00800080)) << 8
+    t_e = ((p & U(0x007F007F)) << 4) | sign_e
+    n_e = t_e + U(0x3C003C00)
+    x_e = (p & U(0x00780078)) + U(0x00780078)
+    nz_e = ((x_e >> 7) & U(0x00010001)) * U(0xFFFF)
+    dm_e = pltpu.bitcast((p & U(0x00070007)) | U(0x43004300),
+                         jnp.bfloat16) - 128
+    ds_e = pltpu.bitcast(sign_e | U(0x3B003B00), jnp.bfloat16)
+    db_e = pltpu.bitcast(dm_e * ds_e, jnp.uint32)
+    o_e = (n_e & nz_e) | (db_e & (nz_e ^ U(0xFFFFFFFF)))
+
+    sign_o = p & U(0x80008000)
+    t_o = ((p & U(0x7F007F00)) >> 4) | sign_o
+    n_o = t_o + U(0x3C003C00)
+    x_o = ((p >> 8) & U(0x00780078)) + U(0x00780078)
+    nz_o = ((x_o >> 7) & U(0x00010001)) * U(0xFFFF)
+    dm_o = pltpu.bitcast(((p >> 8) & U(0x00070007)) | U(0x43004300),
+                         jnp.bfloat16) - 128
+    ds_o = pltpu.bitcast(sign_o | U(0x3B003B00), jnp.bfloat16)
+    db_o = pltpu.bitcast(dm_o * ds_o, jnp.uint32)
+    o_o = (n_o & nz_o) | (db_o & (nz_o ^ U(0xFFFFFFFF)))
+
+    out = jnp.concatenate([pltpu.bitcast(o_e, jnp.bfloat16),
+                           pltpu.bitcast(o_o, jnp.bfloat16)], axis=-2)
+    return out if dtype == jnp.bfloat16 else out.astype(dtype)
+
+
+def fp8_packed_enabled(dtype) -> bool:
+    """Packed fp8 widening is default-on for e4m3 arenas;
+    VATTN_FP8_PACKED=0 opts out (A/B measurement knob)."""
+    import os
+    return (jnp.dtype(dtype) == jnp.float8_e4m3fn
+            and os.environ.get("VATTN_FP8_PACKED", "1") != "0")
+
+
+def packed_kv_pos(i, T: int):
+    """Logical KV position of stored row ``i`` after ``upcast_kv_packed``:
+    the first half holds even positions (pos = 2i), the second half odd
+    (pos = 2(i - T/2) + 1)."""
+    half = T // 2
+    return jnp.where(i < half, 2 * i, 2 * (i - half) + 1)
+
+
 def seg_row_lookup(pos, seg_row_ref, seg_cum_ref, num_segments: int,
                    prefix=()):
     """Arena row for token position ``pos`` given extent tables.
