@@ -57,7 +57,7 @@ def main():
                  sampling_params=SamplingParams(
                      temperature=0.0, max_tokens=5, ignore_eos=True),
                  seq_id=f"mh{i}")
-            for i, n in enumerate([140, 60, 90])
+            for i, n in enumerate([90, 50, 70])
         ]
     outputs = serve_multihost(engine, control, requests=requests)
     control.close()

@@ -98,9 +98,9 @@ def test_engine_matches_dense_reference(backend, scheduler, chunk, model):
     rng = np.random.default_rng(5)
     prompts = {
         f"r{i}": rng.integers(1, 2000, int(n)).tolist()
-        for i, n in enumerate([200, 37, 150])
+        for i, n in enumerate([200, 37])
     }
-    max_tokens = 8
+    max_tokens = 6
     for seq_id, toks in prompts.items():
         engine.add_request(
             prompt=None, prompt_token_ids=toks,
@@ -147,10 +147,10 @@ def test_fp8_kv_cache_engine_path():
             chunk_size=128, gpu_memory_utilization=0.9,
             kv_quant=kv_quant)
         rng = np.random.default_rng(11)
-        toks = rng.integers(1, 2000, 120).tolist()
+        toks = rng.integers(1, 2000, 100).tolist()
         engine.add_request(
             prompt=None, prompt_token_ids=toks,
-            sampling_params=SamplingParams(temperature=0.0, max_tokens=8,
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=6,
                                            ignore_eos=True),
             seq_id="q")
         out = None
@@ -262,12 +262,12 @@ def test_vllm_scheduler_batches_multiple_prompts_per_step():
     )
     rng = np.random.default_rng(11)
     prompts = {f"m{i}": rng.integers(1, 2000, n).tolist()
-               for i, n in enumerate([90, 40, 60])}
+               for i, n in enumerate([60, 30, 40])}
     for seq_id, toks in prompts.items():
         engine.add_request(
             prompt=None, prompt_token_ids=toks,
             sampling_params=SamplingParams(
-                temperature=0.0, max_tokens=4, ignore_eos=True),
+                temperature=0.0, max_tokens=3, ignore_eos=True),
             seq_id=seq_id)
     # record every iteration's schedule to assert the batching shape
     recorded = []
@@ -295,7 +295,7 @@ def test_vllm_scheduler_batches_multiple_prompts_per_step():
     params = engine.worker.model_runner.params
     for seq_id, toks in prompts.items():
         expect = dense_reference_cached("tiny-llama-debug", model,
-                                        params, toks, 4)
+                                        params, toks, 3)
         assert generated[seq_id] == expect, (
             f"{seq_id}: engine={generated[seq_id]} dense={expect}")
     engine.cleanup()

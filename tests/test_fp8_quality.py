@@ -90,7 +90,7 @@ def dense_logits(model, params, ids):
     return jax.vmap(one)(ids)
 
 
-def train_tiny_model(rng, steps=200):
+def train_tiny_model(rng, steps=120):
     import optax
 
     model_cls = get_model_class(ARCH.model_type)

@@ -31,16 +31,17 @@ def test_serving_metrics_and_op_rows():
         max_num_seqs=4,
         write_metrics=True,
         output_dir="/tmp/vattn_metrics_test",
+        enable_plots=True,
     )
     rng = np.random.default_rng(3)
-    for i, n in enumerate([150, 80]):
+    for i, n in enumerate([100, 60]):
         engine.add_request(
             prompt=None, prompt_token_ids=rng.integers(1, 2000, n).tolist(),
             sampling_params=SamplingParams(
-                temperature=0.0, max_tokens=6, ignore_eos=True),
+                temperature=0.0, max_tokens=4, ignore_eos=True),
             seq_id=f"s{i}")
     _drain(engine)
-    ops = engine.worker.profile_op_level(ctx=256, iters=2)
+    ops = engine.worker.profile_op_level(ctx=256, iters=1)
     store = engine.metrics_store
     summary = store.summary()
 
@@ -71,6 +72,10 @@ def test_serving_metrics_and_op_rows():
         "/tmp/vattn_metrics_test/operation_attn_decode.csv")
     assert os.path.exists(
         "/tmp/vattn_metrics_test/fragmentation_overhead.csv")
+    # per-metric cdf+hist figures (enable_plots; ref plotly layer)
+    assert os.path.exists("/tmp/vattn_metrics_test/tbt.png")
+    assert os.path.exists(
+        "/tmp/vattn_metrics_test/batch_execution_time.png")
     engine.cleanup()
     from vattention_tpu.metrics.metrics_store import MetricsStore
     MetricsStore._instance = None

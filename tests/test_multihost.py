@@ -70,7 +70,7 @@ def test_two_process_serving_matches_single_controller():
         enable_async_execution=False,
     )
     rng = np.random.default_rng(21)
-    for i, n in enumerate([140, 60, 90]):
+    for i, n in enumerate([90, 50, 70]):
         engine.add_request(
             prompt=None, prompt_token_ids=rng.integers(1, 2000, n).tolist(),
             sampling_params=SamplingParams(

@@ -149,13 +149,13 @@ def test_pp_engine_matches_single_engine():
             pipeline_parallel_size=pp, tensor_parallel_size=tp)
         rng = np.random.default_rng(3)
         prompts = {f"r{i}": rng.integers(1, 2000, n).tolist()
-                   for i, n in enumerate([150, 80])}
+                   for i, n in enumerate([100, 50])}
         for sid, toks in prompts.items():
             engine.add_request(
                 prompt=None, prompt_token_ids=toks,
                 sampling_params=__import__(
                     "vattention_tpu").SamplingParams(
-                    temperature=0.0, max_tokens=6, ignore_eos=True),
+                    temperature=0.0, max_tokens=4, ignore_eos=True),
                 seq_id=sid)
         out = {}
         steps = 0

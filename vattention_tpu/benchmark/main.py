@@ -64,6 +64,8 @@ def add_args(p: argparse.ArgumentParser):
     # metrics
     p.add_argument("--output-dir", default="benchmark_output")
     p.add_argument("--enable-chrome-trace", action="store_true")
+    p.add_argument("--enable-plots", action="store_true",
+                   help="write per-metric cdf+hist PNGs next to the CSVs")
     p.add_argument("--enable-profiling", action="store_true",
                    help="jax.profiler trace around the run "
                         "(ref torch.profiler sessions)")
@@ -108,6 +110,7 @@ def run_from_args(args) -> dict:
         chunk_schedule_stages=args.chunk_schedule_stages,
         write_metrics=True, output_dir=args.output_dir,
         enable_chrome_trace=args.enable_chrome_trace,
+        enable_plots=args.enable_plots,
     )
     generator_config = dict(
         num_requests=args.num_requests,

@@ -405,6 +405,9 @@ class MetricsConfig:
     output_dir: str = "benchmark_output"
     enable_op_level_metrics: bool = False
     enable_chrome_trace: bool = False
+    # per-metric cdf + histogram PNGs next to the CSVs (ref
+    # metrics_store.py:243-264 plotly layer; matplotlib here)
+    enable_plots: bool = False
     enable_request_outputs: bool = False
     keep_individual_batch_metrics: bool = False
     wandb_project: Optional[str] = None

@@ -48,6 +48,7 @@ class EngineArgs:
     output_dir: str = "benchmark_output"
     enable_chrome_trace: bool = False
     enable_op_level_metrics: bool = False
+    enable_plots: bool = False
     # execution
     enable_async_execution: bool = True
     max_inflight_steps: int = 2
@@ -110,7 +111,8 @@ class EngineArgs:
         metrics_config = MetricsConfig(
             write_metrics=self.write_metrics, output_dir=self.output_dir,
             enable_chrome_trace=self.enable_chrome_trace,
-            enable_op_level_metrics=self.enable_op_level_metrics)
+            enable_op_level_metrics=self.enable_op_level_metrics,
+            enable_plots=self.enable_plots)
         # block size must match the allocator's page-derived block tokens
         return SystemConfig(
             model_config=model_config, cache_config=cache_config,

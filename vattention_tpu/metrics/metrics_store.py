@@ -341,4 +341,42 @@ class MetricsStore:
             with open(os.path.join(self.config.output_dir,
                                    "chrome_trace.json"), "w") as f:
                 json.dump({"traceEvents": self._chrome_events}, f)
+        if getattr(self.config, "enable_plots", False):
+            self._write_plots()
         logger.info("metrics written to %s", self.config.output_dir)
+
+    def _write_plots(self) -> None:
+        """Per-metric cdf + histogram PNGs (ref metrics_store.py:243-264
+        writes the same per-distribution figures through plotly/wandb;
+        matplotlib-Agg here, one 2-panel figure per metric)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        series = {
+            name: getattr(self, name)
+            for name in ("request_e2e_time", "request_e2e_time_normalized",
+                         "prefill_e2e_time", "scheduling_delay", "tbt",
+                         "ttft", "batch_num_tokens", "batch_size",
+                         "batch_execution_time")
+        }
+        series.update({f"operation_{k}": v
+                       for k, v in self.operation_times.items()})
+        for name, s in series.items():
+            if len(s) < 2:
+                continue
+            ys = np.sort(np.asarray(s.ys, dtype=np.float64))
+            fig, (ax_cdf, ax_hist) = plt.subplots(
+                1, 2, figsize=(8, 3), constrained_layout=True)
+            ax_cdf.plot(ys, np.arange(1, len(ys) + 1) / len(ys),
+                        drawstyle="steps-post")
+            ax_cdf.set_xlabel(s.y_name)
+            ax_cdf.set_ylabel("cdf")
+            ax_hist.hist(ys, bins=min(50, max(10, len(ys) // 5)))
+            ax_hist.set_xlabel(s.y_name)
+            ax_hist.set_ylabel("count")
+            fig.suptitle(name)
+            fig.savefig(os.path.join(self.config.output_dir,
+                                     f"{name}.png"), dpi=110)
+            plt.close(fig)
