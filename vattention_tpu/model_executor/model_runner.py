@@ -12,6 +12,7 @@ recompiles.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional
 
 import jax
@@ -102,7 +103,10 @@ class ModelRunner:
                     lambda s: NamedSharding(mesh, s), self.param_specs,
                     is_leaf=lambda x: isinstance(
                         x, jax.sharding.PartitionSpec)))
-        self.q_tile = 128
+        # q-tile rows per prefill grid step (tuning knob: larger tiles
+        # cut the attention grid's per-step fixed cost at depth, at the
+        # price of coarser chunk-budget granularity)
+        self.q_tile = int(os.environ.get("VATTN_Q_TILE", "128"))
         self.use_kv_hints = getattr(config, "dynamic_kv_len_buckets",
                                     False)
         self.max_prefills = getattr(
