@@ -7,7 +7,7 @@ model).  Also emits the strongest-baseline decomposition table (wide
 -tile control cells, tag suffix _w512/_w256) when those cells exist.
 
 Tag grammar (see run_longctx_grid.sh run_cfg):
-    {backend}[_fp8][_w512|_w256][_m{model}]_c{ctx}_pd{pd}
+    {backend}[_fp8|_int8][_w512|_w256|_tuned][_m{model}]_c{ctx}_pd{pd}
 
 Usage: python scripts/collect_longctx_grid.py [--dir DIR] [--output F]
 """
@@ -31,6 +31,9 @@ def parse_tag(tag):
     vm = re.search(r"_w(\d+)$", rest)
     if vm:
         wide, rest = int(vm.group(1)), rest[: vm.start()]
+    elif rest.endswith("_tuned"):
+        # tuned-tiling frontier cells (1024-wide kv + 256-row q tiles)
+        wide, rest = "tuned", rest[: -len("_tuned")]
     return {"backend": rest, "ctx": ctx, "pd_ratio": pd,
             "model": model, "wide_tile": wide}
 

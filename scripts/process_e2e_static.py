@@ -90,8 +90,9 @@ def main():
         key = (r.get("model", "-"), r["ctx"], r["pd_ratio"])
         # wide-tile control cells keep their own column (the speedup
         # column then measures against the STRONGEST paged config)
-        label = r["backend"] + (f"_w{r['wide_tile']}"
-                                if r.get("wide_tile") else "")
+        w = r.get("wide_tile")
+        label = r["backend"] + (
+            "" if not w else f"_{w}" if isinstance(w, str) else f"_w{w}")
         grid[key][label] = r["makespan_s"]
 
     backends = sorted({b for per in grid.values() for b in per})
