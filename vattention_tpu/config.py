@@ -303,7 +303,10 @@ class ParallelConfig:
 # pads each prefill run to this).  Chunked schedulers charge prefills
 # against the token budget at THIS granularity so the padded runs always
 # fit one fixed-width region (one jit signature for every mixed step).
-PREFILL_TOKEN_PAD = 128
+# VATTN_Q_TILE is the single source for both (the scheduler's charge
+# unit MUST equal the runner's pad unit, or padded runs can overflow
+# the fixed region).
+PREFILL_TOKEN_PAD = int(os.environ.get("VATTN_Q_TILE", "128"))
 
 
 @dataclass

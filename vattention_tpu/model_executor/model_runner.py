@@ -103,10 +103,13 @@ class ModelRunner:
                     lambda s: NamedSharding(mesh, s), self.param_specs,
                     is_leaf=lambda x: isinstance(
                         x, jax.sharding.PartitionSpec)))
-        # q-tile rows per prefill grid step (tuning knob: larger tiles
+        # q-tile rows per prefill grid step (VATTN_Q_TILE: larger tiles
         # cut the attention grid's per-step fixed cost at depth, at the
-        # price of coarser chunk-budget granularity)
-        self.q_tile = int(os.environ.get("VATTN_Q_TILE", "128"))
+        # price of coarser chunk-budget granularity).  MUST equal the
+        # scheduler's charge unit -- single source in config.
+        from vattention_tpu.config import PREFILL_TOKEN_PAD
+
+        self.q_tile = PREFILL_TOKEN_PAD
         self.use_kv_hints = getattr(config, "dynamic_kv_len_buckets",
                                     False)
         self.max_prefills = getattr(
