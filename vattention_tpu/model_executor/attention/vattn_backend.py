@@ -78,8 +78,9 @@ class VattnAttentionBackend:
         # decode tile is chosen independently of the prefill tile: large
         # blocks (2MB pages -> 4096-token blocks) still decode at 256
         # (512-wide decode tiles measured ~45% slower at 64K depth)
-        dec_base = select_kv_tile(block_tokens, 256)
-        self.dec_kv_fetch = max(1, min(8, 256 // dec_base))
+        dec_pref = int(_os.environ.get("VATTN_DEC_TILE", "256"))
+        dec_base = select_kv_tile(block_tokens, dec_pref)
+        self.dec_kv_fetch = max(1, min(8, dec_pref // dec_base))
         self.dec_kv_tile = dec_base * self.dec_kv_fetch
         self.dec_sub = dec_base
         self.dec_max_kv_tiles = cdiv(min(max_context_len, arena_rows),
