@@ -61,6 +61,20 @@ def main():
             "tokens_per_s": s["totals"]["tokens_per_s"],
             "preemptions": s["totals"]["preemptions"],
         })
+        # stall audit: time spent in steps far above the cell's own
+        # steady state (compile stalls, host hiccups).  A makespan with
+        # nonzero stall_s is not a pure steady-state number.
+        bx = os.path.join(args.dir, tag, "batch_execution_time.csv")
+        if os.path.exists(bx):
+            with open(bx) as f:
+                ts = [float(line.split(",")[1])
+                      for line in f.readlines()[1:] if "," in line]
+            if ts:
+                srt = sorted(ts)
+                med = srt[len(srt) // 2]
+                cut = max(5 * med, 0.5)
+                parsed["stall_s"] = round(
+                    sum(t - cut for t in ts if t > cut), 2)
         rows.append(parsed)
 
     def key(r):
