@@ -225,6 +225,12 @@ def main():
                         "512 = the paged engine's strongest tiling "
                         "(2 block DMAs per 512-wide MXU tile); 0 = "
                         "reference-default 256-wide tiling")
+    p.add_argument("--vattn-wide-tile", type=int, default=0,
+                   help="VATTN_WIDE_TILE for the serving A/B vattn "
+                        "side (0 = backend default)")
+    p.add_argument("--q-tile", type=int, default=0,
+                   help="VATTN_Q_TILE for BOTH serving A/B sides "
+                        "(0 = default 128)")
     # serving-mode workload (the 32K cell of the long-context grid)
     p.add_argument("--serving-model", default="yi-6b-200k-l16")
     p.add_argument("--serving-ctx", type=int, default=32768)
@@ -260,7 +266,15 @@ def main():
         backend = ("fa_vattn_2mb" if args.backend == "fa_vattn_256kb"
                    else args.backend)  # 2mb is the serving default
         arch = get_model_arch(args.serving_model)
-        v1, t = measure_serving(args, backend)
+        paged_env, vattn_env = {}, {}
+        if args.paged_wide_tile:
+            paged_env["PAGED_WIDE_TILE"] = str(args.paged_wide_tile)
+        if args.vattn_wide_tile:
+            vattn_env["VATTN_WIDE_TILE"] = str(args.vattn_wide_tile)
+        if args.q_tile:
+            paged_env["VATTN_Q_TILE"] = str(args.q_tile)
+            vattn_env["VATTN_Q_TILE"] = str(args.q_tile)
+        v1, t = measure_serving(args, backend, env=vattn_env)
         # MXU-FLOPs speed-of-light for the trace: matmul flops per
         # token + causal attention flops per request
         p_body = arch.num_layers * (
@@ -294,11 +308,10 @@ def main():
                 **phase_keys,
             }))
             return
-        paged_env = {"PAGED_WIDE_TILE": str(args.paged_wide_tile)} \
-            if args.paged_wide_tile else None
         p1, _ = measure_serving(args, args.paged_backend, env=paged_env)
         p2, _ = measure_serving(args, args.paged_backend, env=paged_env)
-        v2, t2 = measure_serving(args, backend)
+        v2, t2 = measure_serving(args, backend, env=vattn_env)
+
         pre2, dec2 = phase_rooflines(arch, t2)
         if pre_mfu is not None and pre2 is not None:
             phase_keys["prefill_mfu"] = round((pre_mfu + pre2) / 2, 3)
