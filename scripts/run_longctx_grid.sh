@@ -31,6 +31,8 @@
 #   models     -- second geometries at 32K P:D 100 (mistral GQA-8,
 #                 falcon MQA)
 #   fullextras -- 256kb at 64K/128K + the fp8 pair at 64K
+#   tuned      -- tuned-tiling frontier (1024-wide kv + 256-row q
+#                 tiles, BOTH engines) at 32K and 128K
 #   pod        -- fa_pod cells at 32K/64K P:D 100
 # Aliases: headline = pairs,extras32; full = everything;
 #          extras = everything except pairs (resume a truncated full).
@@ -59,6 +61,12 @@ run_cfg () {
     none) ;;
     w512) tag="${tag}_w512"; envpre="PAGED_WIDE_TILE=512" ;;
     w256) tag="${tag}_w256"; envpre="VATTN_WIDE_TILE=256" ;;
+    # tuned tiling frontier: 1024-wide kv tiles + 256-row q tiles cut
+    # the attention grid's per-step fixed cost ~4x at depth (PERF.md
+    # "prefill roofline"); the arena fetches a 1024 tile as ONE DMA,
+    # the paged twin as 4 block DMAs
+    tuned)  tag="${tag}_tuned"
+            envpre="VATTN_WIDE_TILE=1024 PAGED_WIDE_TILE=1024 VATTN_Q_TILE=256" ;;
     *) echo "unknown variant $variant" >&2; exit 2 ;;
   esac
   case "$mshort" in
@@ -92,12 +100,12 @@ run_cfg () {
 TIER=${TIER:-full}
 case "$TIER" in
   headline) TIER="pairs,extras32" ;;
-  full)     TIER="pairs,controls,pod,extras32,pd64k,models,fullextras" ;;
-  extras)   TIER="controls,pod,extras32,pd64k,models,fullextras" ;;
+  full)     TIER="pairs,controls,pod,extras32,pd64k,models,fullextras,tuned" ;;
+  extras)   TIER="controls,pod,extras32,pd64k,models,fullextras,tuned" ;;
 esac
 has_group () { case ",$TIER," in *",$1,"*) return 0 ;; *) return 1 ;; esac; }
 for g in ${TIER//,/ }; do
-  case "$g" in pairs|controls|extras32|pd64k|models|fullextras|pod) ;;
+  case "$g" in pairs|controls|extras32|pd64k|models|fullextras|pod|tuned) ;;
     *) echo "unknown TIER group: $g" >&2; exit 2 ;;
   esac
 done
@@ -157,6 +165,15 @@ if has_group fullextras; then
   done
   for backend in fa_vattn_2mb fa_paged_256; do
     run_cfg 65536 $backend 100 4 6 int8
+  done
+fi
+# 6b. tuned-tiling frontier cells (both engines at their tuned best)
+if has_group tuned; then
+  for cell in "32768 8 8" "131072 2 4"; do
+    set -- $cell
+    for backend in fa_vattn_2mb fa_paged_256; do
+      run_cfg $1 $backend 100 $2 $3 none tuned
+    done
   done
 fi
 # 7. POD fused-kernel cells.  The fused kernel compiles once per
