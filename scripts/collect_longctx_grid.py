@@ -28,9 +28,11 @@ def parse_tag(tag):
     if wm:
         model, rest = wm.group(1), rest[: wm.start()]
     wide = None
-    vm = re.search(r"_w(\d+)$", rest)
+    vm = re.search(r"_w(\d+)(q\d+)?$", rest)
     if vm:
-        wide, rest = int(vm.group(1)), rest[: vm.start()]
+        wide = (int(vm.group(1)) if not vm.group(2)
+                else vm.group(0)[2:])  # e.g. "512q256"
+        rest = rest[: vm.start()]
     elif rest.endswith("_tuned"):
         # tuned-tiling frontier cells (1024-wide kv + 256-row q tiles)
         wide, rest = "tuned", rest[: -len("_tuned")]
@@ -78,8 +80,9 @@ def main():
         rows.append(parsed)
 
     def key(r):
+        # wide_tile is None | int | "tuned" -- stringify for stable sort
         return (r["backend"], r["ctx"], r["pd_ratio"], r["model"],
-                r["wide_tile"])
+                str(r["wide_tile"]))
 
     by_key = {key(r): r for r in rows}
 
