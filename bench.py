@@ -8,9 +8,10 @@ workload -- a long-context static trace (equal-length requests, P:D 100,
 chunked prefill; scripts/benchmark_e2e_static_trace.py:7-13) -- on a
 real-Yi-6B-per-layer-geometry model at 32K context, A/B against the
 block-table paged baseline at its STRONGEST configuration
-(PAGED_WIDE_TILE=512: 512-wide MXU tiles, 2 block DMAs per tile --
-not the reference-default 256-wide tiling; see docs/PERF.md
-decomposition).  This is the regime the BASELINE north star is stated
+(PAGED_WIDE_TILE=512 + 256-row q tiles: 512-wide MXU tiles at 2
+block DMAs -- its best measured tiling; 1024-wide regresses it at 32K
+-- vs the arena at ITS best, 1024-wide single-DMA tiles; see
+docs/PERF.md decomposition and tuned-frontier tables).  This is the regime the BASELINE north star is stated
 in (>= 1.1x tokens/s vs paged on long-context static traces).
 ``--mode decode`` keeps the earlier pure-decode steady-state microbench
 (parity regime: both backends run the same decode kernel there).
@@ -225,12 +226,15 @@ def main():
                         "512 = the paged engine's strongest tiling "
                         "(2 block DMAs per 512-wide MXU tile); 0 = "
                         "reference-default 256-wide tiling")
-    p.add_argument("--vattn-wide-tile", type=int, default=0,
+    p.add_argument("--vattn-wide-tile", type=int, default=1024,
                    help="VATTN_WIDE_TILE for the serving A/B vattn "
-                        "side (0 = backend default)")
-    p.add_argument("--q-tile", type=int, default=0,
+                        "side (1024 = measured-strongest arena tiling: "
+                        "single-DMA 1024-wide kv tiles; 0 = backend "
+                        "default 512)")
+    p.add_argument("--q-tile", type=int, default=256,
                    help="VATTN_Q_TILE for BOTH serving A/B sides "
-                        "(0 = default 128)")
+                        "(256 = measured-strongest for both engines "
+                        "at 32K; 0 = default 128)")
     # serving-mode workload (the 32K cell of the long-context grid)
     p.add_argument("--serving-model", default="yi-6b-200k-l16")
     p.add_argument("--serving-ctx", type=int, default=32768)
