@@ -39,15 +39,19 @@ def plot(grid, backends, out_path):
     keys = sorted(grid.keys())
     fig, ax = plt.subplots(figsize=(1.4 + 1.3 * len(keys), 3.6))
     width = 0.8 / max(len(backends), 1)
-    extras = iter(FALLBACK_COLORS)
+    import itertools
+
+    extras = itertools.cycle(FALLBACK_COLORS)
     for i, b in enumerate(backends):
         xs, ys = [], []
         for k, key in enumerate(keys):
             if b in grid[key]:
                 xs.append(k + (i - (len(backends) - 1) / 2) * width)
                 ys.append(grid[key][b])
-        color = BACKEND_COLORS.get(
-            b.replace("_fp8", ""), None) or next(extras)
+        base = b
+        for suf in ("_fp8", "_int8", "_tuned", "_512q256", "_c4k"):
+            base = base.replace(suf, "")
+        color = BACKEND_COLORS.get(base, None) or next(extras)
         bars = ax.bar(xs, ys, width=width * 0.92, label=b, color=color,
                       edgecolor="white", linewidth=1)
         hatch = "//" if "fp8" in b else None
