@@ -23,7 +23,14 @@ def main():
     p.add_argument("--model", default="yi-6b-200k-l16")
     p.add_argument("--backends", nargs="+",
                    default=["fa_vattn_2mb", "fa_paged_256"])
-    p.add_argument("--num-requests", type=int, default=24)
+    # Queueing only builds when requests far outnumber the batch
+    # capacity: with num_requests ~ max_batch_size every arrival is
+    # admitted immediately, the scheduling-delay SLO never binds, and
+    # the bisection runs away upward (observed at 24 requests: "capacity"
+    # 992 qps).  96 requests vs max_batch_size 16 makes the probe a real
+    # sustained-rate test: over capacity, the backlog grows for the whole
+    # arrival span and the delay quantile blows through the SLO.
+    p.add_argument("--num-requests", type=int, default=96)
     p.add_argument("--slo-s", type=float, default=5.0)
     p.add_argument("--quantile", type=float, default=0.9)
     p.add_argument("--max-model-len", type=int, default=8192)
@@ -54,12 +61,13 @@ def main():
             engine_kwargs, generator_config,
             SLOConfig(scheduling_delay_slo_s=args.slo_s,
                       scheduling_delay_quantile=args.quantile),
-            num_requests=args.num_requests, time_limit_s=300.0)
-        capacity = search.search(qps_low=0.25, qps_high=4.0,
-                                 tolerance=0.25, max_iters=4)
+            num_requests=args.num_requests, time_limit_s=600.0)
+        capacity = search.search(qps_low=0.5, qps_high=8.0,
+                                 tolerance=0.25, max_iters=5)
         results.append({
             "model": args.model, "backend": backend,
             "capacity_qps": capacity,
+            "probes": search.probes,
             "slo": {"scheduling_delay_s": args.slo_s,
                     "quantile": args.quantile},
             "workload": {"prefill": args.prefill_tokens,

@@ -37,6 +37,10 @@ class CapacitySearch:
         self.slo = slo
         self.num_requests = num_requests
         self.time_limit_s = time_limit_s
+        # probe history (qps, measured delay quantile, slo_ok) -- kept so
+        # the committed artifact shows the evidence behind the bisection,
+        # not just its endpoint.
+        self.probes: list[dict] = []
 
     def _probe(self, qps: float) -> bool:
         """Run one benchmark at ``qps``; True iff SLOs hold."""
@@ -64,6 +68,12 @@ class CapacitySearch:
                 ok = False
         logger.info("probe qps=%.2f -> delay_p%d=%.2fs slo_ok=%s",
                     qps, q, delay, ok)
+        self.probes.append({
+            "qps": qps, f"delay_p{q}": round(delay, 3),
+            "tokens_per_s": round(
+                summary["totals"].get("tokens_per_s", 0.0), 1),
+            "slo_ok": ok,
+        })
         return ok
 
     def search(self, qps_low: float = 0.25, qps_high: float = 16.0,
@@ -73,10 +83,17 @@ class CapacitySearch:
         if not self._probe(qps_low):
             logger.warning("SLO violated even at qps=%.2f", qps_low)
             return 0.0
-        # grow upper bound until violation
-        while self._probe(qps_high) and qps_high < 1024:
+        # grow upper bound until violation (capped: if the SLO never
+        # binds the workload is too small to queue -- num_requests must
+        # be >> max_batch_size for the search to mean anything)
+        while self._probe(qps_high) and qps_high < 64:
             qps_low = qps_high
             qps_high *= 2
+        if qps_high >= 64:
+            logger.warning(
+                "SLO never bound up to qps=%.0f -- workload too small "
+                "to build a queue; raise num_requests", qps_high)
+            return qps_low
         it = 0
         while qps_high - qps_low > tolerance and it < max_iters:
             mid = (qps_low + qps_high) / 2
