@@ -9,8 +9,8 @@ chunked prefill; scripts/benchmark_e2e_static_trace.py:7-13) -- on a
 real-Yi-6B-per-layer-geometry model at 32K context, A/B against the
 block-table paged baseline at its STRONGEST configuration
 (PAGED_WIDE_TILE=512 + 256-row q tiles: 512-wide MXU tiles at 2
-block DMAs -- its best measured tiling; 1024-wide regresses it at 32K
--- vs the arena at ITS best, 1024-wide single-DMA tiles; see
+block DMAs -- its best measured tiling at 32K; 1024-wide regresses it
+there -- vs the arena at ITS best, 2048-wide single-DMA tiles; see
 docs/PERF.md decomposition and tuned-frontier tables).  This is the regime the BASELINE north star is stated
 in (>= 1.1x tokens/s vs paged on long-context static traces).
 ``--mode decode`` keeps the earlier pure-decode steady-state microbench
@@ -226,11 +226,11 @@ def main():
                         "512 = the paged engine's strongest tiling "
                         "(2 block DMAs per 512-wide MXU tile); 0 = "
                         "reference-default 256-wide tiling")
-    p.add_argument("--vattn-wide-tile", type=int, default=1024,
+    p.add_argument("--vattn-wide-tile", type=int, default=2048,
                    help="VATTN_WIDE_TILE for the serving A/B vattn "
-                        "side (1024 = measured-strongest arena tiling: "
-                        "single-DMA 1024-wide kv tiles; 0 = backend "
-                        "default 512)")
+                        "side (2048 = measured-strongest arena tiling: "
+                        "single-DMA 2048-wide kv tiles, the widest "
+                        "VMEM allows; 0 = backend default 512)")
     p.add_argument("--q-tile", type=int, default=256,
                    help="VATTN_Q_TILE for BOTH serving A/B sides "
                         "(256 = measured-strongest for both engines "
